@@ -1,0 +1,216 @@
+"""CLI driver — the TPU-native ``main()`` (fpmMain.cpp:500-592).
+
+Usage mirrors the reference's ``./fpmMain <dataset.json> <iterationCount>``
+(fpmMain.cpp:501-506) with real subcommands and, unlike the reference,
+results written to disk (quirk 12):
+
+    python -m fpm_tpu run dataset.json -n 10 -o out/
+    python -m fpm_tpu run dataset.json 10            # positional, reference-style
+    python -m fpm_tpu info dataset.json              # derived optical parameters
+    python -m fpm_tpu simulate out_dir/ --np-size 32 # hermetic synthetic dataset
+
+Device selection: ``--platform cpu|tpu`` replaces the reference's
+``use_cpu.sh``/``use_gpu.sh`` OpenCL env-var scripts (SURVEY.md C11).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_run_parser(sub):
+    p = sub.add_parser("run", help="run a reconstruction from a dataset_*.json")
+    p.add_argument("config", help="dataset descriptor JSON (reference schema)")
+    p.add_argument("iterations_pos", nargs="?", type=int, default=None,
+                   help="iteration count (reference argv[2] style)")
+    p.add_argument("-n", "--iterations", type=int, default=None)
+    p.add_argument("-o", "--output", default="fpm_output")
+    p.add_argument("--mode", choices=["sequential", "batched"], default="sequential")
+    p.add_argument("--global-max", choices=["exact", "lazy"], default="exact")
+    p.add_argument("--dtype", default=None, help="complex64 (TPU) or complex128 (CPU)")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="device selection (replaces use_cpu.sh/use_gpu.sh)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save a checkpoint every K iterations (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in the output dir")
+    p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace")
+    p.add_argument("--debug", action="store_true",
+                   help="dump intermediate spectra PNGs per sweep (reference "
+                        "'debug' flag equivalent, fpmMain.cpp:352-455)")
+    p.add_argument("--no-native", action="store_true", help="force Python loader")
+    return p
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="fpm_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_run_parser(sub)
+
+    p_info = sub.add_parser("info", help="print derived optical parameters")
+    p_info.add_argument("config")
+
+    p_sim = sub.add_parser("simulate", help="write a synthetic dataset to disk")
+    p_sim.add_argument("out_dir")
+    p_sim.add_argument("--np-size", type=int, default=32)
+    p_sim.add_argument("--grid", type=int, default=7)
+    p_sim.add_argument("--seed", type=int, default=0)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "run":
+        return _cmd_run(args)
+    if args.cmd == "info":
+        return _cmd_info(args)
+    if args.cmd == "simulate":
+        return _cmd_simulate(args)
+    return 2
+
+
+def _cmd_info(args) -> int:
+    from .config import load_config
+
+    cfg = load_config(args.config)
+    out = {
+        "Np": cfg.np_size,
+        "ps_eff": cfg.ps_eff,
+        "du": cfg.du,
+        "resImprovementFactor": cfg.res_improvement_factor,
+        "Nlarge": cfg.n_large,
+        "recovered_pixel_size": cfg.recovered_pixel_size,
+        "ledCount": cfg.led_count,
+        "pupil_radius_px": __import__("fpm_tpu.geometry", fromlist=["pupil_radius"]).pupil_radius(cfg),
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_simulate(args) -> int:
+    import numpy as np
+    from PIL import Image
+
+    from .data.simulate import synthetic_dataset
+
+    ds = synthetic_dataset(np_size=args.np_size, grid=args.grid, seed=args.seed,
+                           quantize=True)
+    os.makedirs(args.out_dir, exist_ok=True)
+    # Write TIFFs in the reference's file layout ({prefix}{led#}{ext}) so the
+    # full scan/decode ingestion path is exercised hermetically.
+    for i, led in enumerate(ds.geom.led_numbers):
+        Image.fromarray(ds.images[i].astype(np.uint16)).save(
+            os.path.join(args.out_dir, f"iLED_{led}.tif")
+        )
+    cfg_doc = {
+        "datasetRoot": os.path.abspath(args.out_dir) + os.sep,
+        "filePrefix": "iLED_",
+        "fileExtension": ".tif",
+        "cropSizeX": args.np_size,
+        "pixelSize": ds.cfg.pixel_size,
+        "objectiveMag": ds.cfg.objective_mag,
+        "objectiveNA": ds.cfg.objective_na,
+        "maxIlluminationNA": ds.cfg.max_illumination_na,
+        "lambda": ds.cfg.wavelength,
+        "cropX": 0, "cropY": 0,
+        "bk1cropX": 0, "bk1cropY": 0, "bk2cropX": 0, "bk2cropY": 0,
+        "bgThresh": 0,
+        "delta1": ds.cfg.delta1, "delta2": ds.cfg.delta2,
+        "ledCount": int(ds.cfg.led_count),
+        "holeCoordinates": [
+            [{"x": float(x)}, {"y": float(y)}, {"z": float(z)}]
+            for x, y, z in ds.cfg.hole_coordinates
+        ],
+    }
+    cfg_path = os.path.join(args.out_dir, "dataset.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg_doc, f)
+    np.save(os.path.join(args.out_dir, "object_true.npy"), ds.object_true)
+    print(f"wrote {ds.geom.num_leds} LED frames + {cfg_path}")
+    return 0
+
+
+def _cmd_run(args) -> int:
+    if args.platform:
+        os.environ["JAX_PLATFORM_NAME"] = args.platform
+        if args.platform == "cpu":
+            os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+    import numpy as np
+
+    from .config import load_config
+    from .data.loader import load_dataset
+    from .models.epry import reconstruct
+    from .utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    from .utils.metrics import MetricsLogger
+    from .utils.outputs import save_results
+    from .utils.profiling import phase, start_trace, stop_trace
+
+    iterations = args.iterations if args.iterations is not None else args.iterations_pos
+    cfg = load_config(args.config, iterations=iterations)
+    if args.dtype:
+        cfg.dtype = args.dtype
+    if args.debug:
+        cfg.debug = True
+
+    os.makedirs(args.output, exist_ok=True)
+    logger = MetricsLogger(args.metrics_jsonl or os.path.join(args.output, "metrics.jsonl"))
+    logger.log("config", path=os.path.abspath(args.config),
+               iterations=cfg.iterations, n_large=cfg.n_large, np_size=cfg.np_size)
+
+    if args.trace_dir:
+        start_trace(args.trace_dir)
+
+    with phase("ingest", logger):
+        dataset = load_dataset(cfg, use_native=False if args.no_native else None)
+    logger.log("dataset", leds=int(dataset.geom.num_leds))
+    print(f"[fpm-tpu] loaded {dataset.geom.num_leds} LED frames "
+          f"(Np={cfg.np_size}, Nlarge={cfg.n_large})")
+
+    initial_state, start_iter = None, 0
+    if args.resume:
+        ck = latest_checkpoint(args.output)
+        if ck:
+            obj_f, pupil, start_iter = load_checkpoint(ck)
+            initial_state = (obj_f, pupil)
+            print(f"[fpm-tpu] resuming from {ck} (iteration {start_iter})")
+
+    total = cfg.iterations
+    chunk = args.checkpoint_every if args.checkpoint_every > 0 else total
+
+    result = None
+    with phase("solve", logger):
+        done = start_iter
+        while done < total:
+            step = min(chunk, total - done)
+            result = reconstruct(
+                dataset.images, dataset.geom, cfg,
+                iterations=step,
+                mode=args.mode,
+                global_max=args.global_max,
+                initial_state=initial_state,
+            )
+            done += step
+            initial_state = (result.obj_f_centered, result.pupil)
+            logger.log("iterations", done=done,
+                       data_residual=float(result.metrics["data_residual"][-1]),
+                       update_norm=float(result.metrics["update_norm"][-1]))
+            if args.checkpoint_every > 0 and done < total:
+                save_checkpoint(
+                    os.path.join(args.output, f"ckpt_{done}.npz"),
+                    result.obj_f_centered, result.pupil, done,
+                )
+
+    with phase("output", logger):
+        save_results(result, args.output, cfg)
+
+    if args.trace_dir:
+        stop_trace()
+    logger.close()
+    print(f"[fpm-tpu] results written to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

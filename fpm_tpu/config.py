@@ -1,0 +1,342 @@
+"""Typed dataset configuration for the TPU-native FPM engine.
+
+Parses the reference's ``dataset_*.json`` descriptor schema (every key read by
+``fpmMain.cpp:517-584``) plus the quirky alias keys that appear in the bundled
+dataset files but were silently ignored by the reference (SURVEY.md §2.3):
+
+* ``bgThreh``      — misspelling of ``bgThresh`` (dataset_mono.json:19)
+* ``holePositions`` — alternative key for ``holeCoordinates`` (dataset_cellscope2.json:26)
+* ``holeCoordinatFile`` — misspelling of ``holeCoordinateFileName`` (dataset_fLED-c.json:28)
+
+Derived optical parameters follow the reference formulas exactly:
+``ps_eff = pixelSize/objectiveMag`` (fpmMain.cpp:529), ``du = (1/ps_eff)/Np``
+(fpmMain.cpp:530), ``resImprovementFactor = 1 + ceil(2*ps_eff*(maxIlluminationNA
++ objectiveNA)/lambda)`` (fpmMain.cpp:556-558), ``Nlarge = Ncrop * rif``
+(fpmMain.cpp:562-565), ``ps = ps_eff/rif`` (fpmMain.cpp:566).
+
+Unlike the reference (which has no validation and silently ignores unknown or
+misspelled keys — root cause of its unrunnable configs), unknown keys produce a
+warning, and the external LED-coordinate file actually works (the reference
+parsed it into the wrong variable and only printed it, fpmMain.cpp:577-582).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import warnings
+from typing import Any, Sequence
+
+import numpy as np
+
+# All keys the reference reads (fpmMain.cpp:517-584), plus aliases and our
+# extensions. Used to warn on unknown keys instead of silently ignoring them.
+_KNOWN_KEYS = {
+    "filePrefix", "fileExtension", "cropSizeX", "cropSizeY", "datasetRoot",
+    "pixelSize", "objectiveMag", "objectiveNA", "maxIlluminationNA", "isColor",
+    "centerLED", "lambda", "leadingZeros", "cropX", "cropY", "arrayRotation",
+    "bk1cropX", "bk1cropY", "bk2cropX", "bk2cropY", "holeNumberDigits",
+    "bgThresh", "bgThreh", "delta1", "delta2", "ledCount", "flipDatasetX",
+    "flipDatasetY", "darkfieldExpMultiplier", "holeCoordinateFileName",
+    "holeCoordinatFile", "holeCoordinates", "holePositions", "debug",
+    # fpm-tpu extensions
+    "ledArrayMap", "iterations", "dtype", "tileGrid", "colorChannel",
+}
+
+
+def _coords_to_array(value: Any) -> np.ndarray | None:
+    """Normalize the three LED-coordinate JSON shapes into an (N, 3) array.
+
+    Accepts the reference's odd per-axis-dict rows
+    ``[{"x": ..}, {"y": ..}, {"z": ..}]`` (read via
+    ``holeCoordinates[i][0].get("x", 0)`` at fpmMain.cpp:77-79), plain
+    ``[x, y, z]`` triples, and ``{"x": .., "y": .., "z": ..}`` dicts.
+    """
+    if value is None:
+        return None
+    rows = []
+    for row in value:
+        if isinstance(row, dict):
+            rows.append([row.get("x", 0.0), row.get("y", 0.0), row.get("z", 0.0)])
+        elif isinstance(row, Sequence) and row and isinstance(row[0], dict):
+            x = row[0].get("x", 0.0)
+            y = row[1].get("y", 0.0) if len(row) > 1 else 0.0
+            z = row[2].get("z", 0.0) if len(row) > 2 else 0.0
+            rows.append([x, y, z])
+        else:
+            rows.append([float(row[0]), float(row[1]), float(row[2])])
+    return np.asarray(rows, dtype=np.float64)
+
+
+def default_dome_coordinates() -> np.ndarray:
+    """The built-in 508-LED dome geometry (x, y, z in meters).
+
+    Extracted hardware geometry from the reference's compiled-in table
+    (include/domeHoleCoordinates.h:1-510), kept in its natural x,y,z order —
+    a radius-0.060 m hemisphere with center LED 249 on-axis and illumination
+    NA spanning 0.025-0.761 (matching the default maxIlluminationNA 0.7604).
+    The reference only ever used this table for debug prints
+    (fpmMain.cpp:191-216) — configs without embedded ``holeCoordinates``
+    (dataset.json, dataset_mono.json) crash in the reference; we instead fall
+    back to this table so they are runnable. (SURVEY.md quirk 9 flags a
+    column mismatch vs dataset_cellscope2.json's dead ``holePositions``
+    list; it is that JSON that stores a swapped frame, not this table.)
+    """
+    path = os.path.join(os.path.dirname(__file__), "data", "dome_coordinates.json")
+    with open(path) as f:
+        return np.asarray(json.load(f)["coordinates"], dtype=np.float64)
+
+
+@dataclasses.dataclass
+class FPMConfig:
+    """All experiment parameters, mirroring ``FPM_Dataset`` (fpmMain.h:43-101).
+
+    Defaults equal the reference's inline defaults (fpmMain.cpp:517-584).
+    """
+
+    # Files / dataset layout
+    dataset_root: str = "."
+    file_prefix: str = "iLED_"
+    file_extension: str = ".tif"
+    leading_zeros: bool = False          # parsed but dead in reference (quirk 8)
+    hole_number_digits: int = 4          # parsed but dead in reference (quirk 8)
+
+    # Optics
+    pixel_size: float = 6.5              # microns, camera pixel
+    objective_mag: float = 8.0
+    objective_na: float = 0.2
+    max_illumination_na: float = 0.7604
+    wavelength: float = 0.5              # "lambda", microns
+    color: bool = False
+    color_channel: int = 2               # OpenCV BGR channel the reference keeps
+    # (fpmMain.cpp:115 keeps channels[2] of a BGR image = RED despite the
+    #  "Green Channel" comment — SURVEY.md quirk 3; channel index is in BGR
+    #  order for reference parity, converted appropriately by the loader)
+
+    # Geometry / crops
+    np_size: int = 90                    # "cropSizeX" — ROI size Np
+    crop_x: int = 1
+    crop_y: int = 1
+    array_rotation: float = 0.0
+    flip_illumination_x: bool = False
+    flip_illumination_y: bool = False
+    center_led: int = 249
+
+    # Backgrounds
+    bk1_crop_x: int = 1
+    bk1_crop_y: int = 1
+    bk2_crop_x: int = 1
+    bk2_crop_y: int = 1
+    bg_threshold: float = 1000.0
+    darkfield_exp_multiplier: int = 1
+
+    # Solver
+    delta1: float = 5.0
+    delta2: float = 10.0
+    iterations: int = 10
+    eps: float = 1e-10                   # fpmMain.h:99
+    debug: bool = False
+
+    # LED geometry
+    led_count: int = 508
+    hole_coordinates: np.ndarray | None = None   # (ledCount, 3) x,y,z
+    hole_coordinate_file: str | None = None
+    led_array_map: str | None = None     # ledArrayMaps/*.json hardware map
+
+    # fpm-tpu extensions (no reference counterpart)
+    dtype: str = "complex64"             # solver precision; "complex128" for CPU parity
+    tile_grid: tuple[int, int] = (1, 1)  # spectrum-tile sharding (parallel/)
+
+    # ------------------------------------------------------------------ derived
+    @property
+    def ps_eff(self) -> float:
+        """Effective object-plane pixel size (fpmMain.cpp:529)."""
+        return self.pixel_size / self.objective_mag
+
+    @property
+    def du(self) -> float:
+        """Spatial-frequency step per Fourier pixel (fpmMain.cpp:530)."""
+        return (1.0 / self.ps_eff) / self.np_size
+
+    @property
+    def res_improvement_factor(self) -> int:
+        """fpmMain.cpp:556-558."""
+        return 1 + int(
+            math.ceil(
+                2.0
+                * self.ps_eff
+                * (self.max_illumination_na + self.objective_na)
+                / self.wavelength
+            )
+        )
+
+    @property
+    def n_large(self) -> int:
+        """High-res spectrum size (fpmMain.cpp:562-565)."""
+        return self.np_size * self.res_improvement_factor
+
+    @property
+    def m_large(self) -> int:
+        return self.np_size * self.res_improvement_factor
+
+    @property
+    def recovered_pixel_size(self) -> float:
+        """fpmMain.cpp:566."""
+        return self.ps_eff / self.res_improvement_factor
+
+    def coordinates(self) -> np.ndarray:
+        """LED (x, y, z) positions, shape (led_count, 3).
+
+        Resolution order: embedded ``holeCoordinates`` array → external
+        coordinate file (fixing reference quirk 4, where the file was parsed
+        into the wrong variable and discarded, fpmMain.cpp:577-582) → the
+        built-in dome table.
+        """
+        if self.hole_coordinates is not None:
+            return self.hole_coordinates
+        if self.hole_coordinate_file:
+            path = self.hole_coordinate_file
+            if not os.path.isabs(path):
+                for base in (self.dataset_root, os.getcwd()):
+                    cand = os.path.join(base, path)
+                    if os.path.exists(cand):
+                        path = cand
+                        break
+            with open(path) as f:
+                doc = json.load(f)
+            if isinstance(doc, dict) and "ledList" in doc:
+                return led_array_map_coordinates(doc)
+            coords = _coords_to_array(
+                doc.get("holeCoordinates", doc.get("holePositions"))
+                if isinstance(doc, dict)
+                else doc
+            )
+            if coords is not None:
+                return coords
+            raise ValueError(f"no LED coordinates found in {path!r}")
+        dome = default_dome_coordinates()
+        if self.led_count > len(dome):
+            raise ValueError(
+                f"ledCount={self.led_count} exceeds built-in dome table "
+                f"({len(dome)} LEDs) and no holeCoordinates were given"
+            )
+        return dome[: self.led_count]
+
+
+def led_array_map_coordinates(doc: dict) -> np.ndarray:
+    """Read an ``ledArrayMaps/*.json`` hardware map into (N, 3) coordinates.
+
+    The reference ships ``ledArrayMaps/fLED-c.json`` (80 LEDs with x/y/z,
+    driver channel, rotAngle, per-color dot-correction) but contains no code
+    that reads it (SURVEY.md C9 "dead data, no reader"); this is the reader it
+    was missing. LEDs are ordered by their 1-based index in ``ledList``.
+    """
+    leds = doc["ledList"]
+    coords = np.zeros((len(leds), 3), dtype=np.float64)
+    for i, led in enumerate(leds):
+        coords[i] = [led.get("x", 0.0), led.get("y", 0.0), led.get("z", 0.0)]
+    rot = float(doc.get("rotAngle", doc.get("arrayRotation", 0.0)))
+    if rot:
+        a = math.radians(rot)
+        rz = np.array(
+            [[math.cos(a), -math.sin(a), 0.0], [math.sin(a), math.cos(a), 0.0], [0.0, 0.0, 1.0]]
+        )
+        coords = coords @ rz.T
+    return coords
+
+
+def _lenient_json_parse(text: str) -> dict:
+    """Parse JSON with JsonCpp-style leniency.
+
+    The reference parses configs with JsonCpp (include/jsoncpp.cpp), which
+    tolerates trailing commas — and the bundled dataset files rely on that
+    (e.g. dataset_cellScope.json ends its coordinate array with ",\\n  ]").
+    Python's strict parser rejects them, so strip comma-before-bracket
+    outside of strings.
+    """
+    import re
+
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        # remove ",<ws>]" / ",<ws>}" — safe for these configs (no string
+        # values contain that pattern)
+        cleaned = re.sub(r",(\s*[\]}])", r"\1", text)
+        return json.loads(cleaned)
+
+
+def load_config(path_or_dict: str | dict, iterations: int | None = None) -> FPMConfig:
+    """Load a reference-schema ``dataset_*.json`` into an :class:`FPMConfig`.
+
+    Accepts all five bundled reference configs verbatim, including the quirk
+    alias keys (SURVEY.md §2.3 items 4-6).
+    """
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict) as f:
+            doc = _lenient_json_parse(f.read())
+    else:
+        doc = dict(path_or_dict)
+
+    unknown = set(doc) - _KNOWN_KEYS
+    if unknown:
+        warnings.warn(f"unknown config keys ignored: {sorted(unknown)}", stacklevel=2)
+
+    def get(key, default, *aliases):
+        for k in (key, *aliases):
+            if k in doc:
+                return doc[k]
+        return default
+
+    coords = _coords_to_array(get("holeCoordinates", None, "holePositions"))
+
+    cfg = FPMConfig(
+        dataset_root=get("datasetRoot", "."),
+        file_prefix=get("filePrefix", "iLED_"),
+        file_extension=get("fileExtension", ".tif"),
+        leading_zeros=bool(get("leadingZeros", False)),
+        hole_number_digits=int(get("holeNumberDigits", 4)),
+        pixel_size=float(get("pixelSize", 6.5)),
+        objective_mag=float(get("objectiveMag", 8)),
+        objective_na=float(get("objectiveNA", 0.2)),
+        max_illumination_na=float(get("maxIlluminationNA", 0.7604)),
+        wavelength=float(get("lambda", 0.5)),
+        color=bool(get("isColor", False)),
+        color_channel=int(get("colorChannel", 2)),
+        np_size=int(get("cropSizeX", 90)),
+        crop_x=int(get("cropX", 1)),
+        crop_y=int(get("cropY", 1)),
+        # reference reads arrayRotation with .asInt() (quirk 10); we accept float
+        array_rotation=float(get("arrayRotation", 0)),
+        flip_illumination_x=bool(get("flipDatasetX", False)),
+        flip_illumination_y=bool(get("flipDatasetY", False)),
+        center_led=int(get("centerLED", 249)),
+        bk1_crop_x=int(get("bk1cropX", 1)),
+        bk1_crop_y=int(get("bk1cropY", 1)),
+        bk2_crop_x=int(get("bk2cropX", 1)),
+        bk2_crop_y=int(get("bk2cropY", 1)),
+        bg_threshold=float(get("bgThresh", 1000, "bgThreh")),
+        darkfield_exp_multiplier=int(get("darkfieldExpMultiplier", 1)),
+        delta1=float(get("delta1", 5)),
+        delta2=float(get("delta2", 10)),
+        debug=bool(get("debug", False)),
+        led_count=int(get("ledCount", 508)),
+        hole_coordinates=coords,
+        hole_coordinate_file=get("holeCoordinateFileName", None, "holeCoordinatFile"),
+        led_array_map=get("ledArrayMap", None),
+        dtype=str(get("dtype", "complex64")),
+        tile_grid=tuple(get("tileGrid", (1, 1))),
+    )
+    if iterations is not None:
+        cfg.iterations = iterations
+    elif "iterations" in doc:
+        cfg.iterations = int(doc["iterations"])
+    if coords is not None and cfg.led_count > len(coords) and "ledCount" in doc:
+        # Embedded tables may be shorter than the nominal ledCount (e.g.
+        # dataset_dogStomach.json embeds 293 rows with default ledCount 508);
+        # clamp so geometry stays in range.
+        cfg.led_count = len(coords)
+    elif coords is not None and "ledCount" not in doc:
+        cfg.led_count = len(coords)
+    return cfg

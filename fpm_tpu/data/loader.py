@@ -1,0 +1,162 @@
+"""Image-stack ingestion: the TPU-native ``loadFPMDataset``.
+
+Reproduces the reference's ingestion contract (fpmMain.cpp:36-271):
+directory scan with ``{prefix}{led#}{ext}`` filename parsing
+(fpmMain.cpp:66-75), per-LED decode, ROI crop, darkfield exposure division,
+two-point background estimation clamped at ``bgThreshold`` and saturating
+subtraction (fpmMain.cpp:109-144) — but vectorized, with geometry computed
+once for all LEDs (:mod:`fpm_tpu.geometry`), and with an optional
+multithreaded native C++ decode path (:mod:`fpm_tpu.native`). ``cv::imread``
+was ~12% of the reference's runtime (BASELINE.md).
+
+Deliberate fixes over the reference (documented, SURVEY.md §2.3):
+* color images keep the configured BGR channel (default 2 = red, matching the
+  reference's actual behavior at fpmMain.cpp:115 despite its "Green Channel"
+  comment);
+* 16-bit images load as-is (the reference's ``-1*CV_LOAD_IMAGE_ANYDEPTH``
+  flag is a negative-flag accident with the same effect, quirk 7);
+* the darkfield check is a real comparison, not ``sqrt(bool)`` (quirk 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+
+import numpy as np
+
+from ..config import FPMConfig
+from ..geometry import LEDGeometry, compute_geometry
+
+
+@dataclasses.dataclass
+class LoadedDataset:
+    cfg: FPMConfig
+    geom: LEDGeometry
+    images: np.ndarray     # (K, Np, Np) uint16, bg-subtracted, ordered by geom.led_numbers
+    bg_values: np.ndarray  # (K,) int16 per-LED background estimate
+
+
+def scan_directory(cfg: FPMConfig) -> list[tuple[int, str]]:
+    """Find ``{prefix}{number}{ext}`` files; return (led_num, path) pairs.
+
+    Mirrors the reference's readdir loop (fpmMain.cpp:63-75): prefix match at
+    position 0, extension match at the end, LED number parsed with
+    ``atoi``-like semantics (leading zeros fine).
+    """
+    out = []
+    pat = re.compile(
+        re.escape(cfg.file_prefix) + r"(\d+)" + re.escape(cfg.file_extension) + r"$"
+    )
+    root = cfg.dataset_root
+    for name in sorted(os.listdir(root)):
+        m = pat.fullmatch(name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(root, name)))
+    return out
+
+
+def _decode_image(path: str, color: bool, color_channel: int) -> np.ndarray:
+    """Decode one image to a 2-D uint16 array.
+
+    Grayscale data loads at native depth (reference quirk 7 intent: 16-bit
+    as-is). Color data keeps one BGR channel: the reference splits BGR and
+    keeps ``channels[2]`` = red (fpmMain.cpp:109-115).
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.ndim == 3:
+        if color:
+            # PIL decodes RGB; convert the configured BGR channel index.
+            rgb_channel = {0: 2, 1: 1, 2: 0}[color_channel]
+            arr = arr[..., rgb_channel]
+        else:
+            arr = arr[..., 0]
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.uint16)
+    return arr.astype(np.uint16, copy=False)
+
+
+def preprocess_image(
+    full_img: np.ndarray, cfg: FPMConfig, is_darkfield: bool
+) -> tuple[np.ndarray, int]:
+    """ROI crop + darkfield scaling + background subtraction for one image.
+
+    Bit-faithful to fpmMain.cpp:124-144: mean over two Np×Np background
+    windows of the *full* frame, averaged, clamped at ``bgThreshold``,
+    rounded to int16, subtracted with uint16 saturation at 0. Darkfield
+    frames are divided by ``darkfieldExpMultiplier`` with round-half-to-even
+    (cvRound) and applied *before* background subtraction.
+    """
+    np_sz = cfg.np_size
+    img = full_img[cfg.crop_y : cfg.crop_y + np_sz, cfg.crop_x : cfg.crop_x + np_sz]
+    img = img.astype(np.float64)
+
+    if cfg.darkfield_exp_multiplier != 1 and is_darkfield:
+        img = np.rint(img / cfg.darkfield_exp_multiplier)
+
+    bk1 = full_img[
+        cfg.bk1_crop_y : cfg.bk1_crop_y + np_sz, cfg.bk1_crop_x : cfg.bk1_crop_x + np_sz
+    ].mean()
+    bk2 = full_img[
+        cfg.bk2_crop_y : cfg.bk2_crop_y + np_sz, cfg.bk2_crop_x : cfg.bk2_crop_x + np_sz
+    ].mean()
+    bg_val = (bk1 + bk2) / 2.0
+    if bg_val > cfg.bg_threshold:
+        bg_val = cfg.bg_threshold
+    bg = int(round(bg_val))
+
+    img = np.clip(img - bg, 0, 65535).astype(np.uint16)  # saturating cv::subtract
+    return img, bg
+
+
+def load_dataset(
+    cfg: FPMConfig, use_native: bool | None = None, num_threads: int = 0
+) -> LoadedDataset:
+    """Scan, filter by NA, decode, and preprocess the full LED stack.
+
+    ``use_native`` selects the C++ decode/preprocess path (default: auto —
+    used when the shared library is built and files are TIFF).
+    """
+    found = scan_directory(cfg)
+    if not found:
+        raise FileNotFoundError(
+            f"no '{cfg.file_prefix}*{cfg.file_extension}' images in {cfg.dataset_root!r}"
+        )
+    led_numbers = np.array([n for n, _ in found], dtype=np.int32)
+    paths = {n: p for n, p in found}
+
+    coords = cfg.coordinates()
+    in_range = led_numbers <= len(coords)
+    if not in_range.all():
+        skipped = led_numbers[~in_range]
+        raise ValueError(
+            f"LED numbers {skipped[:5].tolist()}... exceed coordinate table "
+            f"({len(coords)} entries)"
+        )
+
+    geom = compute_geometry(cfg, coordinates=coords, led_numbers=led_numbers)
+
+    from .. import native
+
+    if use_native is None:
+        use_native = native.available() and cfg.file_extension.lower() in (
+            ".tif",
+            ".tiff",
+        )
+
+    if use_native:
+        images, bgs = native.load_and_preprocess(
+            [paths[n] for n in geom.led_numbers], cfg, geom.is_darkfield, num_threads
+        )
+    else:
+        images = np.empty((geom.num_leds, cfg.np_size, cfg.np_size), dtype=np.uint16)
+        bgs = np.empty(geom.num_leds, dtype=np.int16)
+        for i, led in enumerate(geom.led_numbers):
+            full = _decode_image(paths[led], cfg.color, cfg.color_channel)
+            images[i], bgs[i] = preprocess_image(full, cfg, geom.is_darkfield[i])
+
+    return LoadedDataset(cfg=cfg, geom=geom, images=images, bg_values=bgs)

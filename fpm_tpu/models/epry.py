@@ -1,0 +1,374 @@
+"""TPU-native EPRY (embedded pupil recovery) phase-retrieval solver.
+
+Functional re-design of the reference's ``runFPM`` (fpmMain.cpp:274-498):
+
+* The large object spectrum ``O`` lives permanently in the **centered**
+  (DC-in-middle) frame, so the per-LED work is a dynamic patch slice + two
+  patch-size rolls instead of the reference's two full-spectrum fftShifts per
+  LED (fpmMain.cpp:358-362, 427-447) — its dominant memory traffic.
+* The whole iteration is one jit-compiled program: ``lax.scan`` over the
+  NA-ascending LED schedule (exact Gauss–Seidel semantics of
+  fpmMain.cpp:348-476), ``lax.fori_loop`` over sweeps; buffers are donated so
+  updates happen in place in HBM. The reference instead allocates ~97k
+  temporary Mats per run and round-trips host↔device every LED
+  (``getMat(ACCESS_RW)``, fpmMain.cpp:380-381; SURVEY.md §6).
+* ~60% of the reference's runtime is unfused element-wise complex arithmetic
+  (complexMultiply/Abs/Divide, BASELINE.md); here each LED step is a single
+  fused XLA computation (optionally routed through the Pallas kernels in
+  :mod:`fpm_tpu.ops.pallas_kernels`), and the small per-LED FFTs can run as
+  MXU matmul-DFTs (:mod:`fpm_tpu.ops.fft`).
+
+Two sweep modes:
+
+* ``sequential`` — bit-faithful Gauss–Seidel LED ordering; the accuracy/parity
+  mode (validated against :mod:`fpm_tpu.oracle`).
+* ``batched`` — epoch-synchronous (Jacobi-style) sweep: all LED updates are
+  computed from the sweep-start state and summed. Changes convergence
+  slightly (documented; RMSE impact tested) but exposes the LED axis for
+  vmap/shard_map parallelism (SURVEY.md N1) — the reference's loop is
+  unparallelizable because each LED mutates shared state (fpmMain.cpp:348).
+
+The per-LED global ``max|O|`` pupil-update denominator (fpmMain.cpp:467) is a
+full-spectrum reduction; ``global_max='exact'`` reproduces it, ``'lazy'``
+refreshes it once per sweep (documented deviation, far less HBM traffic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FPMConfig
+from ..geometry import LEDGeometry, pupil_support
+from ..ops import crop_patch, fft2, fftshift2d, ifft2, ifftshift2d, paste_patch_add
+
+
+@dataclasses.dataclass(frozen=True)
+class EPRYOptions:
+    """Static solver options (hashable → usable as a jit static argument)."""
+
+    np_size: int
+    iterations: int
+    delta1: float
+    delta2: float
+    eps: float
+    mode: str = "sequential"          # "sequential" | "batched"
+    global_max: str = "exact"         # "exact" | "lazy"
+    pupil_step_scale: float = 1.0     # batched-mode pupil update scaling
+    collect_metrics: bool = True
+    use_pallas: bool = False          # route fused element-wise math via Pallas
+    n_large: int = 0
+    dtype: str = "complex64"          # on-device complex dtype
+
+    @classmethod
+    def from_config(cls, cfg: FPMConfig, **overrides) -> "EPRYOptions":
+        kwargs = dict(
+            np_size=cfg.np_size,
+            iterations=cfg.iterations,
+            delta1=cfg.delta1,
+            delta2=cfg.delta2,
+            eps=cfg.eps,
+            n_large=cfg.n_large,
+            dtype=cfg.dtype,
+        )
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def rdtype(self):
+        return jnp.dtype("float64" if self.dtype == "complex128" else "float32")
+
+
+@dataclasses.dataclass
+class ReconResult:
+    obj_crop: np.ndarray       # high-res complex object, real space
+    obj_f_centered: np.ndarray # high-res spectrum, centered frame
+    pupil: np.ndarray          # recovered pupil, DC-at-corner frame
+    metrics: dict[str, np.ndarray]
+
+    @property
+    def obj_f(self) -> np.ndarray:
+        """Spectrum in the reference's DC-at-corner frame (fpmMain.h:92)."""
+        return np.fft.ifftshift(self.obj_f_centered)
+
+
+# --------------------------------------------------------------------------- init
+
+
+def init_traced(amps_sorted: jax.Array, support_r: jax.Array, opts: EPRYOptions):
+    """Initial (O_centered, pupil) per the reference contract (traceable).
+
+    Pupil: fftshifted filled NA circle (fpmMain.cpp:301-313). Object
+    spectrum: amplitude of the *second*-lowest-NA image (``sortedIndicies
+    .at(1)`` — SURVEY.md quirk 2), FFT'd, masked by the pupil support, pasted
+    at the center of the large zeros (fpmMain.cpp:315-343).
+
+    ``amps_sorted`` is the (K, Np, Np) amplitude stack already in schedule
+    order, so the seed image is simply index 1. ``support_r`` is the real
+    binary pupil support (DC-at-corner). All inputs are real so this can sit
+    directly at a jit boundary (complex buffers never cross host↔device —
+    some TPU transfer paths don't implement complex element types).
+    """
+    dtype = opts.cdtype
+    n_large, np_sz = opts.n_large, opts.np_size
+    support = support_r.astype(dtype)
+    pupil = support
+
+    seed_idx = 1 if amps_sorted.shape[0] > 1 else 0
+    amp0 = amps_sorted[seed_idx].astype(dtype)
+    ci = fftshift2d(fft2(amp0) * support)
+
+    obj_f = jnp.zeros((n_large, n_large), dtype=dtype)
+    half_l, half_n = n_large // 2, np_sz // 2
+    obj_f = jax.lax.dynamic_update_slice(obj_f, ci, (half_l - half_n, half_l - half_n))
+    return obj_f, pupil
+
+
+def init_state(cfg: FPMConfig, geom: LEDGeometry, amps_sorted: jax.Array, dtype=jnp.complex64):
+    """Convenience init returning (O, pupil, support) device arrays.
+
+    Used by the CPU-mesh sharded paths and tests; the single-device TPU path
+    runs :func:`init_traced` inside the jitted program instead.
+    """
+    opts = EPRYOptions.from_config(cfg, dtype=jnp.dtype(dtype).name)
+    support_r = jnp.asarray(pupil_support(cfg, centered=False), dtype=opts.rdtype)
+    obj_f, pupil = init_traced(jnp.asarray(amps_sorted, opts.rdtype), support_r, opts)
+    return obj_f, jnp.copy(pupil), support_r.astype(opts.cdtype)
+
+
+# ---------------------------------------------------------------------- LED step
+
+
+def _amp_replace(obj_crop_p, amp, eps):
+    """Phase-preserving amplitude replacement (fpmMain.cpp:377-394).
+
+    ``eps`` is added to the real part only, matching the reference's
+    ``cv::add(ObjcropP, eps, ...)`` scalar-add semantics.
+    """
+    return obj_crop_p / jnp.abs(obj_crop_p + eps) * amp
+
+
+def _object_delta(diff, pupil, delta2):
+    """Quasi-Newton object update increment (fpmMain.cpp:404-419).
+
+    ``ΔO = (|P| · conj(P) · diff) / (max|P| · (|P|² + delta2))``
+    """
+    pabs = jnp.abs(pupil)
+    pmax = jnp.max(pabs)
+    return diff * (pabs * jnp.conj(pupil)) / (pmax * (pabs * pabs + delta2))
+
+
+def _pupil_delta(diff, objf_crop, objf_abs_max, support, delta1):
+    """EPRY pupil update increment (fpmMain.cpp:457-472).
+
+    ``ΔP = (|Oc| · conj(Oc) · diff) / (max|O| · (|Oc|² + delta1)) · support``
+    where ``max|O|`` is over the full (already-updated) large spectrum.
+    """
+    oabs = jnp.abs(objf_crop)
+    return diff * (oabs * jnp.conj(objf_crop)) / (
+        objf_abs_max * (oabs * oabs + delta1)
+    ) * support
+
+
+def led_step(carry, inputs, *, support, opts: EPRYOptions):
+    """One Gauss–Seidel LED update: (O, P, omax) × (amp, start) → (O, P, omax).
+
+    The exact per-LED contract of fpmMain.cpp:348-476 in the centered-O frame.
+    """
+    obj_f, pupil, omax_lazy = carry
+    amp, start = inputs
+    np_sz = opts.np_size
+
+    patch_c = crop_patch(obj_f, start, np_sz)
+    objf_crop = fftshift2d(patch_c)          # centered → corner frame (even N)
+    objf_crop_p = objf_crop * pupil
+    obj_crop_p = ifft2(objf_crop_p)
+
+    objf_up = fft2(_amp_replace(obj_crop_p, amp, opts.eps))
+    diff = objf_up - objf_crop_p
+
+    d_obj = _object_delta(diff, pupil, opts.delta2)
+    obj_f = paste_patch_add(obj_f, fftshift2d(d_obj), start)
+
+    if opts.global_max == "exact":
+        # The reference recomputes max|objF| after every object update
+        # (fpmMain.cpp:460,467) — a full-spectrum reduction per LED.
+        omax = jnp.max(jnp.abs(obj_f))
+    else:
+        omax = omax_lazy
+
+    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1)
+    pupil = pupil + d_pupil
+
+    if opts.collect_metrics:
+        resid = jnp.sum((amp - jnp.abs(obj_crop_p)) ** 2)
+        upd = jnp.sum(jnp.abs(d_obj) ** 2)
+        out = jnp.stack([resid, upd])
+    else:
+        out = jnp.zeros((2,), dtype=jnp.abs(diff).dtype)
+    return (obj_f, pupil, omax_lazy), out
+
+
+# ------------------------------------------------------------------------ sweeps
+
+
+def sweep_sequential(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
+    """One full NA-ascending sequential sweep over all LEDs (lax.scan)."""
+    omax0 = jnp.max(jnp.abs(obj_f))
+    step = functools.partial(led_step, support=support, opts=opts)
+    (obj_f, pupil, _), per_led = jax.lax.scan(step, (obj_f, pupil, omax0), (amps, starts))
+    return obj_f, pupil, per_led.sum(axis=0)
+
+
+def sweep_batched(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
+    """One epoch-synchronous (Jacobi) sweep: all LEDs from the same state.
+
+    All per-LED quantities are computed batched (one MXU-batched FFT over the
+    LED axis), the object-spectrum increments are accumulated with a cheap
+    paste scan, and the pupil increments are summed. This is the sweep that
+    shards over the LED mesh axis (SURVEY.md N1).
+    """
+    np_sz = opts.np_size
+
+    patches = jax.vmap(lambda s: crop_patch(obj_f, s, np_sz))(starts)
+    objf_crop = fftshift2d(patches)
+    objf_crop_p = objf_crop * pupil
+    obj_crop_p = ifft2(objf_crop_p)
+    objf_up = fft2(_amp_replace(obj_crop_p, amps, opts.eps))
+    diff = objf_up - objf_crop_p
+
+    d_obj = _object_delta(diff, pupil, opts.delta2)
+    d_obj = fftshift2d(d_obj)
+
+    def paste(acc, inp):
+        d, s = inp
+        return paste_patch_add(acc, d, s), None
+
+    d_obj_full, _ = jax.lax.scan(paste, jnp.zeros_like(obj_f), (d_obj, starts))
+    obj_f = obj_f + d_obj_full
+
+    omax = jnp.max(jnp.abs(obj_f))
+    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1)
+    pupil = pupil + opts.pupil_step_scale * jnp.sum(d_pupil, axis=0)
+
+    resid = jnp.sum((amps - jnp.abs(obj_crop_p)) ** 2)
+    upd = jnp.sum(jnp.abs(d_obj) ** 2)
+    return obj_f, pupil, jnp.stack([resid, upd])
+
+
+# --------------------------------------------------------------------- top level
+
+
+def _planes(z: jax.Array) -> jax.Array:
+    """Complex → stacked (2, ...) real planes, for host transfer."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)])
+
+
+def _unplanes_np(p: np.ndarray) -> np.ndarray:
+    return np.asarray(p[0]) + 1j * np.asarray(p[1])
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "use_init"))
+def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, use_init: bool):
+    """The whole reconstruction as one compiled program.
+
+    Every argument and result is a real array: complex fields exist only
+    inside the compiled computation (the reference's CV_64FC2 2-plane layout
+    at the boundary, native complex inside). ``obj_init``/``pupil_init`` are
+    (2, ...) real/imag planes used when ``use_init`` (checkpoint resume).
+    """
+    dtype = opts.cdtype
+    support = support_r.astype(dtype)
+    if use_init:
+        obj_f = (obj_init[0] + 1j * obj_init[1]).astype(dtype)
+        pupil = (pupil_init[0] + 1j * pupil_init[1]).astype(dtype)
+    else:
+        obj_f, pupil = init_traced(amps, support_r, opts)
+
+    sweep = sweep_sequential if opts.mode == "sequential" else sweep_batched
+
+    def body(carry, _):
+        obj_f, pupil = carry
+        obj_f, pupil, m = sweep(obj_f, pupil, amps, starts, support=support, opts=opts)
+        return (obj_f, pupil), m
+
+    (obj_f, pupil), metrics = jax.lax.scan(
+        body, (obj_f, pupil), None, length=opts.iterations
+    )
+    # Per-iteration inverse transform of the full spectrum (fpmMain.cpp:481);
+    # only the final one is observable, so compute it once.
+    obj_crop = ifft2(ifftshift2d(obj_f))
+    return _planes(obj_f), _planes(pupil), _planes(obj_crop), metrics
+
+
+def _sorted_device_inputs(images, geom: LEDGeometry, dtype):
+    """Sort amplitudes + crop starts into schedule order, ship to device."""
+    real_dtype = jnp.dtype("float64" if jnp.dtype(dtype) == jnp.complex128 else "float32")
+    amps = np.sqrt(np.asarray(images, dtype=np.float64))[geom.schedule]
+    starts = geom.crop_start[geom.schedule]
+    return jnp.asarray(amps, dtype=real_dtype), jnp.asarray(starts, dtype=jnp.int32)
+
+
+def reconstruct(
+    images,
+    geom: LEDGeometry,
+    cfg: FPMConfig,
+    iterations: int | None = None,
+    dtype: Any | None = None,
+    initial_state: tuple | None = None,
+    **opt_overrides,
+) -> ReconResult:
+    """End-to-end reconstruction: the jitted ``runFPM`` equivalent.
+
+    Args:
+      images: (K, Np, Np) background-subtracted intensity stack ordered by
+        ``geom.led_numbers``.
+      geom: LED geometry table.
+      cfg: experiment configuration.
+      iterations: overrides ``cfg.iterations`` (the reference's argv[2]).
+      dtype: solver complex dtype (default from ``cfg.dtype``).
+      initial_state: optional ``(obj_f_centered, pupil)`` arrays to resume
+        from a checkpoint instead of the fresh init contract.
+    """
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    opts = EPRYOptions.from_config(
+        cfg, iterations=iterations if iterations is not None else cfg.iterations,
+        dtype=dtype.name, **opt_overrides,
+    )
+    amps, starts = _sorted_device_inputs(images, geom, dtype)
+    support_r = jnp.asarray(pupil_support(cfg, centered=False), dtype=opts.rdtype)
+
+    if initial_state is not None:
+        o0 = np.asarray(initial_state[0])
+        p0 = np.asarray(initial_state[1])
+        obj_init = jnp.asarray(np.stack([o0.real, o0.imag]), dtype=opts.rdtype)
+        pupil_init = jnp.asarray(np.stack([p0.real, p0.imag]), dtype=opts.rdtype)
+        use_init = True
+    else:
+        n = cfg.n_large
+        obj_init = jnp.zeros((2, n, n), dtype=opts.rdtype)
+        pupil_init = jnp.zeros((2, cfg.np_size, cfg.np_size), dtype=opts.rdtype)
+        use_init = False
+
+    obj_p, pupil_p, obj_crop_p, metrics = _run_jit(
+        amps, starts, support_r, obj_init, pupil_init, opts, use_init
+    )
+    metrics = np.asarray(metrics)
+    return ReconResult(
+        obj_crop=_unplanes_np(obj_crop_p),
+        obj_f_centered=_unplanes_np(obj_p),
+        pupil=_unplanes_np(pupil_p),
+        metrics={
+            "data_residual": metrics[:, 0],
+            "update_norm": metrics[:, 1],
+        },
+    )

@@ -1,0 +1,82 @@
+"""Native C++ runtime: multithreaded image decode + preprocess.
+
+The reference's ingestion is native C++ (OpenCV ``imread`` + libtiff, ~12% of
+its runtime, BASELINE.md); this package holds the TPU-build equivalent — a
+small C++ shared library (``fpm_io.cpp``) that decodes TIFF stacks and runs
+the crop/darkfield/background-subtract pipeline in parallel threads, bound
+via ctypes. Build with ``make -C fpm_tpu/native`` (or ``python -m
+fpm_tpu.native.build``). Falls back to the pure-Python loader when absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "libfpm_io.so")
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB_TRIED = True
+        path = _lib_path()
+        if os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            lib.fpm_load_stack.restype = ctypes.c_int
+            lib.fpm_load_stack.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),  # paths
+                ctypes.c_int,                     # n images
+                ctypes.c_int, ctypes.c_int,       # crop_x, crop_y
+                ctypes.c_int,                     # np_size
+                ctypes.c_int, ctypes.c_int,       # bk1 x, y
+                ctypes.c_int, ctypes.c_int,       # bk2 x, y
+                ctypes.c_double,                  # bg_threshold
+                ctypes.c_int,                     # darkfield multiplier
+                ctypes.POINTER(ctypes.c_uint8),   # is_darkfield flags
+                ctypes.c_int,                     # color channel (BGR idx; -1 = gray)
+                ctypes.c_int,                     # num threads (0 = auto)
+                ctypes.POINTER(ctypes.c_uint16),  # out images (n, np, np)
+                ctypes.POINTER(ctypes.c_int16),   # out bg values (n,)
+            ]
+            _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_and_preprocess(paths, cfg, is_darkfield, num_threads: int = 0):
+    """Decode + preprocess a list of image paths via the C++ library."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run make -C fpm_tpu/native")
+    n = len(paths)
+    np_sz = cfg.np_size
+    images = np.empty((n, np_sz, np_sz), dtype=np.uint16)
+    bgs = np.empty(n, dtype=np.int16)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    df = np.ascontiguousarray(np.asarray(is_darkfield), dtype=np.uint8)
+    rc = lib.fpm_load_stack(
+        c_paths, n,
+        cfg.crop_x, cfg.crop_y, np_sz,
+        cfg.bk1_crop_x, cfg.bk1_crop_y, cfg.bk2_crop_x, cfg.bk2_crop_y,
+        float(cfg.bg_threshold), int(cfg.darkfield_exp_multiplier),
+        df.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        (cfg.color_channel if cfg.color else -1),
+        num_threads,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        bgs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native loader failed on image index {rc - 1} "
+                           f"({paths[rc - 1] if 0 < rc <= n else '?'})")
+    return images, bgs

@@ -1,0 +1,14 @@
+"""Distributed execution: device meshes, LED-batch and spectrum-tile sharding.
+
+All-new TPU-native subsystems with no reference counterpart (the reference is
+strictly single-process and sequential — SURVEY.md §2 "Parallelism
+disclosure"): LED-batch data parallelism (N1), spectrum-tile spatial
+parallelism with halo exchange (N2), and the JAX collective communication
+backend over ICI/DCN (N3: psum for pupil consensus, pmax for the global
+``max|O|`` reduction the reference does with ``cv::minMaxLoc`` at
+fpmMain.cpp:467, ppermute halos).
+"""
+
+from .mesh import make_mesh, mesh_shape_for  # noqa: F401
+from .led_shard import reconstruct_led_sharded  # noqa: F401
+from .tile_shard import reconstruct_tile_sharded  # noqa: F401

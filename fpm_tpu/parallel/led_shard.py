@@ -1,0 +1,158 @@
+"""LED-batch data parallelism (SURVEY.md N1).
+
+The reference's per-LED loop is strictly sequential because every LED update
+mutates the shared spectrum and pupil (fpmMain.cpp:348-476). The scalable
+TPU formulation is the epoch-synchronous sweep (models.epry.sweep_batched):
+every LED's increment is computed from the sweep-start state, so the LED axis
+is embarrassingly parallel — shard it over the ``led`` mesh axis with
+``shard_map``, accumulate local object-spectrum increments into a full-size
+buffer, and reconcile with one ``psum`` per sweep for the object and one for
+the pupil consensus (the all-reduce rides ICI within a slice, DCN across
+hosts — SURVEY.md N3).
+
+LED counts rarely divide the mesh; the stack is padded with masked dummy
+frames (mask zeroes their increments and metrics), keeping shapes static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import FPMConfig
+from ..geometry import LEDGeometry
+from ..models.epry import (
+    EPRYOptions,
+    ReconResult,
+    _amp_replace,
+    _object_delta,
+    _pupil_delta,
+    _sorted_device_inputs,
+    init_state,
+)
+from ..ops import crop_patch, fft2, fftshift2d, ifft2, ifftshift2d, paste_patch_add
+from .mesh import make_mesh
+
+
+def _sharded_sweep(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
+    """Per-device body of one epoch-synchronous sweep (runs under shard_map).
+
+    ``amps``/``starts``/``mask`` hold this device's LED block; ``obj_f``,
+    ``pupil``, ``support`` are replicated.
+    """
+    np_sz = opts.np_size
+    m = mask[:, None, None]
+
+    patches = jax.vmap(lambda s: crop_patch(obj_f, s, np_sz))(starts)
+    objf_crop = fftshift2d(patches)
+    objf_crop_p = objf_crop * pupil
+    obj_crop_p = ifft2(objf_crop_p)
+    objf_up = fft2(_amp_replace(obj_crop_p, amps, opts.eps))
+    diff = objf_up - objf_crop_p
+
+    d_obj = _object_delta(diff, pupil, opts.delta2) * m
+    d_obj = fftshift2d(d_obj)
+
+    def paste(acc, inp):
+        d, s = inp
+        return paste_patch_add(acc, d, s), None
+
+    # Accumulator is device-varying over 'led' (each device pastes its own
+    # LED block); mark it so under shard_map's varying-axis typing.
+    acc0 = jax.lax.pcast(jnp.zeros_like(obj_f), ("led",), to="varying")
+    d_obj_full, _ = jax.lax.scan(paste, acc0, (d_obj, starts))
+    # Object consensus: one all-reduce per sweep over the LED axis (N3).
+    d_obj_full = jax.lax.psum(d_obj_full, "led")
+    obj_f = obj_f + d_obj_full
+
+    # Global max|O| of the *updated* spectrum — replicated here, but under
+    # tile sharding this is the lax.pmax the reference's cv::minMaxLoc
+    # becomes (fpmMain.cpp:467).
+    omax = jnp.max(jnp.abs(obj_f))
+
+    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1) * m
+    d_pupil_sum = jax.lax.psum(jnp.sum(d_pupil, axis=0), "led")
+    pupil = pupil + opts.pupil_step_scale * d_pupil_sum
+
+    resid = jax.lax.psum(jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2), "led")
+    upd = jax.lax.psum(jnp.sum(jnp.abs(d_obj * m) ** 2), "led")
+    return obj_f, pupil, jnp.stack([resid, upd])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "mesh"),
+    donate_argnames=("obj_f", "pupil"),
+)
+def _run_led_sharded(obj_f, pupil, support, amps, starts, mask, opts: EPRYOptions, mesh: Mesh):
+    sweep = jax.shard_map(
+        functools.partial(_sharded_sweep, opts=opts),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("led"), P("led"), P("led")),
+        out_specs=(P(), P(), P()),
+    )
+
+    def body(carry, _):
+        obj_f, pupil = carry
+        obj_f, pupil, metrics = sweep(obj_f, pupil, support, amps, starts, mask)
+        return (obj_f, pupil), metrics
+
+    (obj_f, pupil), metrics = jax.lax.scan(body, (obj_f, pupil), None, length=opts.iterations)
+    obj_crop = ifft2(ifftshift2d(obj_f))
+    return obj_f, pupil, obj_crop, metrics
+
+
+def reconstruct_led_sharded(
+    images,
+    geom: LEDGeometry,
+    cfg: FPMConfig,
+    mesh: Mesh | None = None,
+    iterations: int | None = None,
+    dtype=None,
+    **opt_overrides,
+) -> ReconResult:
+    """Multi-device epoch-synchronous reconstruction, LED axis sharded."""
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    if mesh is None:
+        mesh = make_mesh(tile=1)
+    n_led = mesh.shape["led"]
+    opts = EPRYOptions.from_config(
+        cfg,
+        iterations=iterations if iterations is not None else cfg.iterations,
+        mode="batched",
+        **opt_overrides,
+    )
+
+    amps, starts = _sorted_device_inputs(images, geom, dtype)
+    k = amps.shape[0]
+    pad = (-k) % n_led
+    mask = jnp.concatenate([jnp.ones(k, amps.dtype), jnp.zeros(pad, amps.dtype)])
+    if pad:
+        amps = jnp.concatenate([amps, jnp.zeros((pad,) + amps.shape[1:], amps.dtype)])
+        starts = jnp.concatenate([starts, jnp.zeros((pad, 2), starts.dtype)])
+
+    obj_f, pupil, support = init_state(cfg, geom, amps, dtype=dtype)
+
+    rep = NamedSharding(mesh, P())
+    led_sh = NamedSharding(mesh, P("led"))
+    obj_f, pupil, support = jax.device_put((obj_f, pupil, support), rep)
+    amps, starts, mask = (
+        jax.device_put(amps, led_sh),
+        jax.device_put(starts, led_sh),
+        jax.device_put(mask, led_sh),
+    )
+
+    obj_f, pupil, obj_crop, metrics = _run_led_sharded(
+        obj_f, pupil, support, amps, starts, mask, opts, mesh
+    )
+    metrics = np.asarray(metrics)
+    return ReconResult(
+        obj_crop=np.asarray(obj_crop),
+        obj_f_centered=np.asarray(obj_f),
+        pupil=np.asarray(pupil),
+        metrics={"data_residual": metrics[:, 0], "update_norm": metrics[:, 1]},
+    )

@@ -1,0 +1,233 @@
+"""Spectrum-tile spatial parallelism with halo exchange (SURVEY.md N2).
+
+The reference holds one monolithic ``Nlarge×Mlarge`` spectrum in RAM
+(fpmMain.cpp:330-332). For large-FOV reconstructions the spectrum is the
+memory bottleneck, so here it is row-sharded over the ``tile`` mesh axis with
+``shard_map``; each sweep:
+
+1. **Halo exchange** — every tile ``ppermute``-receives the first ``Np`` rows
+   of its next neighbor, forming an extended ``(S+Np, Nlarge)`` block so any
+   LED sub-aperture whose rows straddle the tile boundary can be cropped
+   locally (tile height ``S`` must be ≥ ``Np`` → patches span at most two
+   tiles, single-hop halos over ICI).
+2. **Owner-computes** — LEDs are partitioned host-side by the tile that owns
+   their patch's first row (the geometry is static data, fpmMain.cpp:156-168),
+   and further split across the ``led`` axis; per-device worksets are padded
+   + masked to keep shapes static.
+3. **Reverse halo** — each device's accumulated increments that landed in its
+   halo rows are ``ppermute``d back to the owner tile and added.
+4. **Collectives** — ``lax.psum`` over ``led`` reconciles object increments,
+   ``lax.pmax`` over ``tile`` realizes the reference's global ``max|O|``
+   reduction (``cv::minMaxLoc`` over the full spectrum, fpmMain.cpp:467),
+   and ``psum`` over both axes forms the pupil consensus.
+
+Epoch-synchronous (Jacobi) sweep semantics, identical to
+``models.epry.sweep_batched`` up to floating-point reduction order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import FPMConfig
+from ..geometry import LEDGeometry
+from ..models.epry import (
+    EPRYOptions,
+    ReconResult,
+    _amp_replace,
+    _object_delta,
+    _pupil_delta,
+    init_state,
+)
+from ..ops import fft2, fftshift2d, ifft2, ifftshift2d
+
+
+def partition_leds_by_tile(
+    geom: LEDGeometry, n_large: int, n_tile: int, n_led: int, np_size: int
+):
+    """Host-side static partition of the LED schedule into per-device worksets.
+
+    Returns (starts_rel, owner_counts) metadata plus index worksets shaped
+    (n_led, n_tile, k_max): schedule positions padded with -1.
+    """
+    s = n_large // n_tile
+    if s * n_tile != n_large:
+        raise ValueError(f"tile count {n_tile} must divide Nlarge={n_large}")
+    if s < np_size:
+        raise ValueError(
+            f"tile height {s} < patch size {np_size}: single-hop halo "
+            "exchange requires Nlarge/n_tile >= Np"
+        )
+    order = geom.schedule  # positions into geometry arrays
+    owners = geom.crop_start[order, 0] // s
+    worksets = [[[] for _ in range(n_tile)] for _ in range(n_led)]
+    counters = np.zeros(n_tile, dtype=np.int64)
+    for pos_i, owner in enumerate(owners):
+        led_slot = counters[owner] % n_led
+        worksets[led_slot][owner].append(pos_i)
+        counters[owner] += 1
+    k_max = max(1, max(len(w) for row in worksets for w in row))
+    idx = -np.ones((n_led, n_tile, k_max), dtype=np.int64)
+    for li in range(n_led):
+        for ti in range(n_tile):
+            w = worksets[li][ti]
+            idx[li, ti, : len(w)] = w
+    return idx, s
+
+
+def _tile_sweep(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s, n_tile):
+    """Per-device sweep body under shard_map over ('led', 'tile')."""
+    np_sz = opts.np_size
+    # Worksets arrive with leading (1, 1) block dims from the ('led', 'tile')
+    # sharding; drop them.
+    amps, starts_rel, mask = amps[0, 0], starts_rel[0, 0], mask[0, 0]
+
+    # --- forward halo: receive next tile's first Np rows (single hop on ICI)
+    fwd = [((i + 1) % n_tile, i) for i in range(n_tile)]
+    halo = jax.lax.ppermute(obj_f_local[:np_sz], "tile", perm=fwd)
+    ext = jnp.concatenate([obj_f_local, halo], axis=0)  # (S+Np, Nlarge)
+
+    patches = jax.vmap(
+        lambda st: jax.lax.dynamic_slice(ext, (st[0], st[1]), (np_sz, np_sz))
+    )(starts_rel)
+    objf_crop = fftshift2d(patches)
+    objf_crop_p = objf_crop * pupil
+    obj_crop_p = ifft2(objf_crop_p)
+    objf_up = fft2(_amp_replace(obj_crop_p, amps, opts.eps))
+    diff = objf_up - objf_crop_p
+
+    m = mask[:, None, None]
+    d_obj = fftshift2d(_object_delta(diff, pupil, opts.delta2) * m)
+
+    def paste(acc, inp):
+        d, st = inp
+        cur = jax.lax.dynamic_slice(acc, (st[0], st[1]), (np_sz, np_sz))
+        return jax.lax.dynamic_update_slice(acc, cur + d, (st[0], st[1])), None
+
+    acc0 = jax.lax.pcast(jnp.zeros_like(ext), ("led",), to="varying")
+    d_ext, _ = jax.lax.scan(paste, acc0, (d_obj, starts_rel))
+    # All led-replicas of a tile must agree on the tile's increment.
+    d_ext = jax.lax.psum(d_ext, "led")
+
+    # --- reverse halo: increments that landed in my halo rows belong to the
+    # next tile's top rows; send them onward and add.
+    bwd = [(i, (i + 1) % n_tile) for i in range(n_tile)]
+    halo_back = jax.lax.ppermute(d_ext[s:], "tile", perm=bwd)
+    d_local = d_ext[:s].at[:np_sz].add(halo_back)
+    obj_f_local = obj_f_local + d_local
+
+    # Global max|O| over the updated sharded spectrum: the reference's
+    # cv::minMaxLoc (fpmMain.cpp:467) becomes a pmax collective.
+    omax = jax.lax.pmax(jnp.max(jnp.abs(obj_f_local)), "tile")
+
+    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1) * m
+    d_pupil_sum = jax.lax.psum(jnp.sum(d_pupil, axis=0), ("led", "tile"))
+    pupil = pupil + opts.pupil_step_scale * d_pupil_sum
+
+    resid = jax.lax.psum(jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2), ("led", "tile"))
+    upd = jax.lax.psum(jnp.sum(jnp.abs(d_obj * m) ** 2), ("led", "tile"))
+    return obj_f_local, pupil, jnp.stack([resid, upd])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("opts", "mesh", "s", "n_tile"),
+    donate_argnames=("obj_f", "pupil"),
+)
+def _run_tile_sharded(obj_f, pupil, support, amps, starts_rel, mask, opts, mesh, s, n_tile):
+    sweep = jax.shard_map(
+        functools.partial(_tile_sweep, opts=opts, s=s, n_tile=n_tile),
+        mesh=mesh,
+        in_specs=(
+            P("tile", None),               # obj_f row-sharded
+            P(), P(),                      # pupil, support replicated
+            P("led", "tile"),              # per-device LED worksets
+            P("led", "tile"),
+            P("led", "tile"),
+        ),
+        out_specs=(P("tile", None), P(), P()),
+    )
+
+    def body(carry, _):
+        obj_f, pupil = carry
+        o, p, metrics = sweep(obj_f, pupil, support, amps, starts_rel, mask)
+        return (o, p), metrics
+
+    (obj_f, pupil), metrics = jax.lax.scan(body, (obj_f, pupil), None, length=opts.iterations)
+    obj_crop = ifft2(ifftshift2d(obj_f))
+    return obj_f, pupil, obj_crop, metrics
+
+
+def reconstruct_tile_sharded(
+    images,
+    geom: LEDGeometry,
+    cfg: FPMConfig,
+    mesh: Mesh,
+    iterations: int | None = None,
+    dtype=None,
+    **opt_overrides,
+) -> ReconResult:
+    """Multi-device reconstruction with the spectrum row-sharded over 'tile'.
+
+    Combines with LED parallelism: the mesh's ``led`` axis splits each tile's
+    owned LEDs.
+    """
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    n_led, n_tile = mesh.shape["led"], mesh.shape["tile"]
+    opts = EPRYOptions.from_config(
+        cfg,
+        iterations=iterations if iterations is not None else cfg.iterations,
+        mode="batched",
+        **opt_overrides,
+    )
+
+    idx, s = partition_leds_by_tile(geom, cfg.n_large, n_tile, n_led, cfg.np_size)
+    k_max = idx.shape[-1]
+
+    # Build per-device worksets in schedule order.
+    order = geom.schedule
+    amps_all = np.sqrt(np.asarray(images, dtype=np.float64))[order]
+    starts_all = geom.crop_start[order].astype(np.int64)
+    real_dtype = jnp.zeros((), dtype).real.dtype
+
+    amps_w = np.zeros((n_led, n_tile, k_max, cfg.np_size, cfg.np_size))
+    starts_w = np.zeros((n_led, n_tile, k_max, 2), dtype=np.int32)
+    mask_w = np.zeros((n_led, n_tile, k_max))
+    for li in range(n_led):
+        for ti in range(n_tile):
+            for ki, pos in enumerate(idx[li, ti]):
+                if pos < 0:
+                    continue
+                amps_w[li, ti, ki] = amps_all[pos]
+                starts_w[li, ti, ki] = [starts_all[pos, 0] - ti * s, starts_all[pos, 1]]
+                mask_w[li, ti, ki] = 1.0
+
+    amps0 = np.sqrt(np.asarray(images, dtype=np.float64))[order]
+    obj_f, pupil, support = init_state(
+        cfg, geom, jnp.asarray(amps0, dtype=real_dtype), dtype=dtype
+    )
+
+    obj_sh = NamedSharding(mesh, P("tile", None))
+    rep = NamedSharding(mesh, P())
+    w_sh = NamedSharding(mesh, P("led", "tile"))
+    obj_f = jax.device_put(obj_f, obj_sh)
+    pupil, support = jax.device_put((pupil, support), rep)
+    amps_w = jax.device_put(jnp.asarray(amps_w, dtype=real_dtype), w_sh)
+    starts_w = jax.device_put(jnp.asarray(starts_w, dtype=jnp.int32), w_sh)
+    mask_w = jax.device_put(jnp.asarray(mask_w, dtype=real_dtype), w_sh)
+
+    obj_f, pupil, obj_crop, metrics = _run_tile_sharded(
+        obj_f, pupil, support, amps_w, starts_w, mask_w, opts, mesh, s, n_tile
+    )
+    metrics = np.asarray(metrics)
+    return ReconResult(
+        obj_crop=np.asarray(obj_crop),
+        obj_f_centered=np.asarray(obj_f),
+        pupil=np.asarray(pupil),
+        metrics={"data_residual": metrics[:, 0], "update_norm": metrics[:, 1]},
+    )

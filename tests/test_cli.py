@@ -1,0 +1,59 @@
+"""CLI end-to-end: simulate → run → outputs on disk (hermetic)."""
+
+import json
+import os
+
+import numpy as np
+
+from fpm_tpu.cli import main
+from fpm_tpu.utils.metrics import complex_field_rmse
+
+
+def test_simulate_then_run_roundtrip(tmp_path, capsys):
+    data_dir = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    assert main(["simulate", data_dir, "--np-size", "16", "--grid", "5"]) == 0
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    assert os.path.exists(cfg_path)
+
+    assert main(["run", cfg_path, "-n", "15", "-o", out_dir,
+                 "--dtype", "complex128", "--no-native"]) == 0
+    obj = np.load(os.path.join(out_dir, "object.npy"))
+    truth = np.load(os.path.join(data_dir, "object_true.npy"))
+    assert obj.shape == truth.shape
+    # Amplitude reconstruction quality gate (quantized data, 15 iters).
+    a, t = np.abs(obj), np.abs(truth)
+    s = (t * a).sum() / (a * a).sum()
+    rmse = np.sqrt(((a * s - t) ** 2).mean()) / t.mean()
+    assert rmse < 0.1
+    for f in ("object_amp.png", "object_phase.png", "pupil_amp.png",
+              "pupil_phase.png", "manifest.json", "metrics.jsonl"):
+        assert os.path.exists(os.path.join(out_dir, f)), f
+    manifest = json.load(open(os.path.join(out_dir, "manifest.json")))
+    assert manifest["derived"]["n_large"] == 48
+
+
+def test_checkpointed_run_matches_straight(tmp_path):
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    main(["run", cfg_path, "-n", "6", "-o", out_a, "--dtype", "complex128",
+          "--no-native"])
+    main(["run", cfg_path, "-n", "6", "-o", out_b, "--dtype", "complex128",
+          "--checkpoint-every", "2", "--no-native"])
+    a = np.load(os.path.join(out_a, "object.npy"))
+    b = np.load(os.path.join(out_b, "object.npy"))
+    np.testing.assert_array_equal(a, b)
+    assert os.path.exists(os.path.join(out_b, "ckpt_2.npz"))
+
+
+def test_info(tmp_path, capsys):
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    capsys.readouterr()
+    assert main(["info", os.path.join(data_dir, "dataset.json")]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["Nlarge"] == 48 and out["resImprovementFactor"] == 3

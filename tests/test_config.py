@@ -1,0 +1,123 @@
+"""Dataset-config parity tests (SURVEY.md §4.3).
+
+Parse all five reference dataset JSONs (including the quirky alias keys) and
+assert the derived optical parameters match the C++ formulas
+(fpmMain.cpp:529-530, 556-566) exactly.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from fpm_tpu.config import FPMConfig, load_config, default_dome_coordinates
+
+REF = "/root/reference"
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+def test_defaults_match_reference_inline_defaults():
+    cfg = FPMConfig()
+    assert cfg.file_prefix == "iLED_"
+    assert cfg.file_extension == ".tif"
+    assert cfg.np_size == 90
+    assert cfg.pixel_size == 6.5
+    assert cfg.objective_mag == 8
+    assert cfg.objective_na == 0.2
+    assert cfg.max_illumination_na == 0.7604
+    assert cfg.center_led == 249
+    assert cfg.wavelength == 0.5
+    assert cfg.bg_threshold == 1000
+    assert cfg.delta1 == 5 and cfg.delta2 == 10
+    assert cfg.led_count == 508
+    assert cfg.eps == pytest.approx(1e-10)
+
+
+@needs_reference
+def test_mono_config_derived_parameters():
+    cfg = load_config(os.path.join(REF, "dataset_mono.json"))
+    # ps_eff = 6.5/8 (fpmMain.cpp:529); du = (1/ps_eff)/Np (:530)
+    assert cfg.ps_eff == pytest.approx(0.8125)
+    assert cfg.du == pytest.approx((1 / 0.8125) / 90)
+    # rif = 1+ceil(2*0.8125*(0.45+0.2)/0.5) = 1+ceil(2.1125) = 4 (:556-558)
+    assert cfg.res_improvement_factor == 4
+    assert cfg.n_large == 360
+    assert cfg.recovered_pixel_size == pytest.approx(0.8125 / 4)
+    # 'bgThreh' misspelling (quirk 6): the reference silently fell back to
+    # 1000; we accept the alias, so the author's intended 20 takes effect.
+    assert cfg.bg_threshold == 20
+
+
+@needs_reference
+def test_cellscope_config():
+    cfg = load_config(os.path.join(REF, "dataset_cellScope.json"))
+    assert cfg.color is True
+    assert cfg.ps_eff == pytest.approx(2.0)
+    # rif = 1+ceil(2*2*(0.5+0.1)/0.55) = 1+ceil(4.3636) = 6
+    assert cfg.res_improvement_factor == 6
+    assert cfg.n_large == 600
+    assert cfg.hole_coordinates is not None and cfg.hole_coordinates.shape == (508, 3)
+    # first embedded row (dataset_cellScope.json:30)
+    np.testing.assert_allclose(
+        cfg.hole_coordinates[0], [-26.9843, 29.7337, -44.5843]
+    )
+    assert cfg.delta1 == 1000 and cfg.delta2 == 70
+
+
+@needs_reference
+def test_cellscope2_holepositions_alias():
+    # 'holePositions' key is never read by the reference (quirk 5) → config
+    # was unrunnable; we accept it as an alias for holeCoordinates.
+    cfg = load_config(os.path.join(REF, "dataset_cellscope2.json"))
+    assert cfg.hole_coordinates is not None
+    assert cfg.hole_coordinates.shape[1] == 3
+    np.testing.assert_allclose(
+        cfg.hole_coordinates[0], [0.044584, -0.0050497, -0.039834]
+    )
+
+
+@needs_reference
+def test_dogstomach_config():
+    cfg = load_config(os.path.join(REF, "dataset_dogStomach.json"))
+    assert cfg.ps_eff == pytest.approx(6.5 / 8.1485)
+    # rif = 1+ceil(2*(6.5/8.1485)*(0.4+0.1)/0.6292) = 1+ceil(1.2679) = 3
+    assert cfg.res_improvement_factor == 3
+    assert cfg.n_large == 600
+    # planar grid, z = 67.5 everywhere (dataset_dogStomach.json:28-320)
+    assert cfg.hole_coordinates is not None
+    assert np.all(cfg.hole_coordinates[:, 2] == 67.5)
+    # 293 embedded rows < default ledCount 508 → clamped
+    assert cfg.led_count == len(cfg.hole_coordinates) == 293
+
+
+@needs_reference
+def test_fledc_misspelled_coordinate_file_alias():
+    # 'holeCoordinatFile' (missing 'e', dataset_fLED-c.json:28) — the
+    # reference additionally parsed the file into the wrong variable
+    # (fpmMain.cpp:577-582, quirk 4). We accept the alias and actually use it.
+    cfg = load_config(os.path.join(REF, "dataset_fLED-c.json"))
+    assert cfg.hole_coordinate_file == "fLED-full.json"
+    assert cfg.file_prefix == "Iled_"
+
+
+def test_dome_fallback_and_order():
+    dome = default_dome_coordinates()
+    assert dome.shape == (508, 3)
+    # Natural x,y,z order: the center LED (249) sits on the optical axis of
+    # a radius-0.060 m hemisphere, and the dome's NA range matches the
+    # reference's default maxIlluminationNA=0.7604.
+    np.testing.assert_allclose(dome[248], [-0.0015, -0.0019, 0.06])
+    assert abs(np.linalg.norm(dome[248]) - 0.060) < 1e-3
+    st = np.sin(np.arctan2(dome[:, :2], dome[:, 2:3]))
+    na = np.sqrt((st**2).sum(1))
+    assert 0.02 < na.min() < 0.03 and 0.757 < na.max() < 0.765
+    cfg = FPMConfig()  # no embedded coordinates
+    assert cfg.coordinates().shape == (508, 3)
+
+
+def test_unknown_keys_warn():
+    with pytest.warns(UserWarning, match="unknown config keys"):
+        load_config({"cropSizeX": 32, "definitelyNotAKey": 1})

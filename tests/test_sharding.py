@@ -1,0 +1,89 @@
+"""Distributed tests without a cluster (SURVEY.md §4.4).
+
+Run on an 8-fake-device CPU mesh (conftest sets
+``--xla_force_host_platform_device_count=8``). The sharded sweeps must be
+numerically equivalent to the single-device batched sweep (same math, only
+reduction order differs), and converge to the ground truth.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from fpm_tpu.data.simulate import synthetic_dataset
+from fpm_tpu.models.epry import reconstruct
+from fpm_tpu.parallel import (
+    make_mesh,
+    mesh_shape_for,
+    reconstruct_led_sharded,
+    reconstruct_tile_sharded,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (fake) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(np_size=16, grid=5, seed=5)
+
+
+def _rel(a, b):
+    return np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(8, 48, 16) == (4, 2) or mesh_shape_for(8, 48, 16)[0] * mesh_shape_for(8, 48, 16)[1] == 8
+    led, tile = mesh_shape_for(8, 48, 16)
+    assert led * tile == 8
+    assert 48 // tile >= 16  # halo invariant: tile height >= Np
+
+
+def test_led_sharded_matches_batched(ds):
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=4,
+                      dtype="complex128", mode="batched")
+    mesh = make_mesh(led=8, tile=1)
+    got = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                  iterations=4, dtype="complex128")
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-10
+    assert _rel(got.pupil, ref.pupil) < 1e-10
+    assert _rel(got.obj_crop, ref.obj_crop) < 1e-10
+
+
+def test_tile_sharded_matches_batched(ds):
+    # Nlarge=48, Np=16 → up to 3 tiles; use tile=3 alone (led=1).
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=4,
+                      dtype="complex128", mode="batched")
+    mesh = make_mesh(led=1, tile=3, devices=jax.devices()[:3])
+    got = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                   iterations=4, dtype="complex128")
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-10
+    assert _rel(got.pupil, ref.pupil) < 1e-10
+
+
+def test_combined_led_tile_mesh(ds):
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=4,
+                      dtype="complex128", mode="batched")
+    mesh = make_mesh(led=4, tile=2)
+    got = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                   iterations=4, dtype="complex128")
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-10
+    assert _rel(got.pupil, ref.pupil) < 1e-10
+
+
+def test_sharded_converges_to_truth(ds):
+    mesh = make_mesh(led=4, tile=2)
+    res = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                   iterations=25, dtype="complex128")
+    a, t = np.abs(res.obj_crop), np.abs(ds.object_true)
+    s = (t * a).sum() / (a * a).sum()
+    rmse = np.sqrt(((a * s - t) ** 2).mean()) / t.mean()
+    assert rmse < 0.08
+
+
+def test_tile_shard_rejects_small_tiles(ds):
+    from fpm_tpu.parallel.tile_shard import partition_leds_by_tile
+
+    with pytest.raises(ValueError, match="halo"):
+        partition_leds_by_tile(ds.geom, 48, 6, 1, 16)  # tile height 8 < Np 16
