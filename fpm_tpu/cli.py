@@ -61,12 +61,18 @@ def main(argv=None) -> int:
     p_sim.add_argument("--seed", type=int, default=0)
 
     args = parser.parse_args(argv)
-    if args.cmd == "run":
-        return _cmd_run(args)
-    if args.cmd == "info":
-        return _cmd_info(args)
-    if args.cmd == "simulate":
-        return _cmd_simulate(args)
+    try:
+        if args.cmd == "run":
+            return _cmd_run(args)
+        if args.cmd == "info":
+            return _cmd_info(args)
+        if args.cmd == "simulate":
+            return _cmd_simulate(args)
+    except (FileNotFoundError, ValueError) as e:
+        # Clean one-line errors (the reference printed "ERROR: Could not
+        # Open Directory." and friends, fpmMain.cpp:266-270).
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
     return 2
 
 
@@ -178,6 +184,11 @@ def _cmd_run(args) -> int:
 
     total = cfg.iterations
     chunk = args.checkpoint_every if args.checkpoint_every > 0 else total
+    if cfg.debug:
+        # Reference 'debug' mode shows intermediate spectra during the solve
+        # (fpmMain.cpp:352-455); we dump them as PNGs per sweep instead.
+        chunk = 1
+        os.makedirs(os.path.join(args.output, "debug"), exist_ok=True)
 
     result = None
     with phase("solve", logger):
@@ -196,6 +207,14 @@ def _cmd_run(args) -> int:
             logger.log("iterations", done=done,
                        data_residual=float(result.metrics["data_residual"][-1]),
                        update_norm=float(result.metrics["update_norm"][-1]))
+            if cfg.debug:
+                from .utils.outputs import SHOW_COMPLEX_MAG, save_complex_img
+
+                base = os.path.join(args.output, "debug", f"iter{done:04d}")
+                save_complex_img(result.obj_f_centered, SHOW_COMPLEX_MAG,
+                                 base + "_objF")
+                save_complex_img(np.fft.fftshift(result.pupil), SHOW_COMPLEX_MAG,
+                                 base + "_pupil")
             if args.checkpoint_every > 0 and done < total:
                 save_checkpoint(
                     os.path.join(args.output, f"ckpt_{done}.npz"),

@@ -1,0 +1,260 @@
+// fpm_io.cpp — native ingestion runtime for fpm-tpu.
+//
+// TPU-native equivalent of the reference's C++ ingestion path
+// (loadFPMDataset, fpmMain.cpp:36-271: cv::imread TIFF decode + ROI crop +
+// darkfield exposure divide + two-window background estimate/subtract),
+// which accounted for ~12% of the reference's runtime (cv::imread 11.9%,
+// TIFFReadEncodedStrip 10.4% — BASELINE.md). This library decodes a stack of
+// TIFF frames and runs the full preprocess pipeline across a thread pool,
+// writing directly into a caller-provided uint16 buffer that is shipped to
+// the TPU once (the reference instead re-touched host memory per LED inside
+// its hot loop, fpmMain.cpp:380-381).
+//
+// Supported input: classic TIFF (II/MM), uncompressed strips, 8/16-bit,
+// grayscale or chunky RGB (the reference's datasets are 16-bit TIFFs;
+// fpmMain.cpp:119). Exposed via a C ABI consumed with ctypes
+// (fpm_tpu/native/__init__.py).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Image {
+  std::vector<uint16_t> data;  // single channel, row-major
+  int w = 0, h = 0;
+};
+
+struct Reader {
+  const uint8_t* p;
+  size_t n;
+  bool big_endian;
+
+  uint16_t u16(size_t off) const {
+    if (off + 2 > n) return 0;
+    return big_endian ? (uint16_t)((p[off] << 8) | p[off + 1])
+                      : (uint16_t)(p[off] | (p[off + 1] << 8));
+  }
+  uint32_t u32(size_t off) const {
+    if (off + 4 > n) return 0;
+    return big_endian
+               ? ((uint32_t)p[off] << 24) | ((uint32_t)p[off + 1] << 16) |
+                     ((uint32_t)p[off + 2] << 8) | p[off + 3]
+               : (uint32_t)p[off] | ((uint32_t)p[off + 1] << 8) |
+                     ((uint32_t)p[off + 2] << 16) | ((uint32_t)p[off + 3] << 24);
+  }
+};
+
+constexpr int kTypeSizes[] = {0, 1, 1, 2, 4, 8, 1, 1, 2, 4, 8, 4, 8};
+
+// Read the i-th value of an IFD entry (SHORT or LONG).
+uint32_t entry_value(const Reader& r, size_t entry_off, uint32_t index) {
+  uint16_t type = r.u16(entry_off + 2);
+  uint32_t count = r.u32(entry_off + 4);
+  size_t tsz = (type < 13) ? kTypeSizes[type] : 1;
+  size_t total = (size_t)count * tsz;
+  size_t base = (total <= 4) ? entry_off + 8 : r.u32(entry_off + 8);
+  size_t off = base + (size_t)index * tsz;
+  if (type == 3) return r.u16(off);
+  if (type == 4) return r.u32(off);
+  if (type == 1) return (off < r.n) ? r.p[off] : 0;
+  return 0;
+}
+
+// Decode first IFD of a classic TIFF. channel_rgb: -1 = grayscale/first,
+// else RGB channel index to keep.
+bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)sz);
+  if (fread(buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f);
+    return false;
+  }
+  fclose(f);
+  if (sz < 8) return false;
+
+  Reader r{buf.data(), (size_t)sz, false};
+  if (buf[0] == 'M' && buf[1] == 'M')
+    r.big_endian = true;
+  else if (!(buf[0] == 'I' && buf[1] == 'I'))
+    return false;
+  if (r.u16(2) != 42) return false;
+
+  size_t ifd = r.u32(4);
+  uint16_t n_entries = r.u16(ifd);
+  uint32_t width = 0, height = 0, bits = 1, compression = 1, spp = 1;
+  uint32_t rows_per_strip = 0xFFFFFFFF;
+  size_t strip_offsets_entry = 0, strip_counts_entry = 0;
+  uint32_t n_strips = 0;
+
+  for (uint16_t i = 0; i < n_entries; i++) {
+    size_t e = ifd + 2 + (size_t)i * 12;
+    uint16_t tag = r.u16(e);
+    switch (tag) {
+      case 256: width = entry_value(r, e, 0); break;
+      case 257: height = entry_value(r, e, 0); break;
+      case 258: bits = entry_value(r, e, 0); break;
+      case 259: compression = entry_value(r, e, 0); break;
+      case 277: spp = entry_value(r, e, 0); break;
+      case 278: rows_per_strip = entry_value(r, e, 0); break;
+      case 273:
+        strip_offsets_entry = e;
+        n_strips = r.u32(e + 4);
+        break;
+      case 279: strip_counts_entry = e; break;
+      default: break;
+    }
+  }
+  if (!width || !height || compression != 1 || !strip_offsets_entry)
+    return false;
+  if (bits != 8 && bits != 16) return false;
+  if (spp != 1 && spp != 3) return false;
+  if (rows_per_strip == 0) rows_per_strip = height;
+
+  out.w = (int)width;
+  out.h = (int)height;
+  out.data.assign((size_t)width * height, 0);
+
+  int ch = (spp == 3) ? ((channel_rgb >= 0 && channel_rgb < 3) ? channel_rgb : 0) : 0;
+  size_t bytes_per_px = (bits / 8) * spp;
+  size_t row_bytes = (size_t)width * bytes_per_px;
+
+  for (uint32_t s = 0; s < n_strips; s++) {
+    size_t off = entry_value(r, strip_offsets_entry, s);
+    size_t cnt = strip_counts_entry ? entry_value(r, strip_counts_entry, s)
+                                    : row_bytes * rows_per_strip;
+    size_t row0 = (size_t)s * rows_per_strip;
+    size_t nrows = cnt / row_bytes;
+    for (size_t dy = 0; dy < nrows && row0 + dy < height; dy++) {
+      const uint8_t* src = buf.data() + off + dy * row_bytes;
+      if (off + (dy + 1) * row_bytes > (size_t)sz) return false;
+      uint16_t* dst = out.data.data() + (row0 + dy) * width;
+      for (uint32_t x = 0; x < width; x++) {
+        const uint8_t* px = src + (size_t)x * bytes_per_px + (size_t)ch * (bits / 8);
+        if (bits == 8)
+          dst[x] = px[0];
+        else
+          dst[x] = r.big_endian ? (uint16_t)((px[0] << 8) | px[1])
+                                : (uint16_t)(px[0] | (px[1] << 8));
+      }
+    }
+  }
+  return true;
+}
+
+// Mean over a window clamped to image bounds (matches the Python loader's
+// clamped-slice mean; the reference assumes in-bounds windows).
+double window_mean(const Image& im, int x0, int y0, int n) {
+  long long sum = 0;
+  long count = 0;
+  for (int y = y0; y < y0 + n && y < im.h; y++) {
+    if (y < 0) continue;
+    for (int x = x0; x < x0 + n && x < im.w; x++) {
+      if (x < 0) continue;
+      sum += im.data[(size_t)y * im.w + x];
+      count++;
+    }
+  }
+  return count ? (double)sum / count : 0.0;
+}
+
+struct Job {
+  const char** paths;
+  int n, crop_x, crop_y, np_size, bk1x, bk1y, bk2x, bk2y;
+  double bg_threshold;
+  int darkfield_mult;
+  const uint8_t* is_darkfield;
+  int color_channel;  // BGR index, -1 = grayscale
+  uint16_t* out_images;
+  int16_t* out_bgs;
+  std::atomic<int> next{0};
+  std::atomic<int> failed{0};  // 1-based failing index, 0 = ok
+};
+
+void worker(Job* job) {
+  // The reference keeps OpenCV BGR channel 2 = red (fpmMain.cpp:115,
+  // quirk 3); TIFF stores RGB, so BGR idx 2 → RGB idx 0.
+  int channel_rgb = -1;
+  if (job->color_channel >= 0) channel_rgb = 2 - job->color_channel;
+
+  for (;;) {
+    int i = job->next.fetch_add(1);
+    if (i >= job->n || job->failed.load()) break;
+    Image im;
+    if (!decode_tiff(job->paths[i], im, channel_rgb)) {
+      job->failed.store(i + 1);
+      break;
+    }
+    int n = job->np_size;
+    if (job->crop_x + n > im.w || job->crop_y + n > im.h) {
+      job->failed.store(i + 1);
+      break;
+    }
+    // Background estimate from the full frame (fpmMain.cpp:131-140).
+    double bg = 0.5 * (window_mean(im, job->bk1x, job->bk1y, n) +
+                       window_mean(im, job->bk2x, job->bk2y, n));
+    if (bg > job->bg_threshold) bg = job->bg_threshold;
+    int bg_i = (int)lround(bg);
+    job->out_bgs[i] = (int16_t)bg_i;
+
+    bool dark = job->is_darkfield[i] != 0 && job->darkfield_mult != 1;
+    uint16_t* dst = job->out_images + (size_t)i * n * n;
+    for (int y = 0; y < n; y++) {
+      const uint16_t* src =
+          im.data.data() + (size_t)(job->crop_y + y) * im.w + job->crop_x;
+      for (int x = 0; x < n; x++) {
+        double v = src[x];
+        if (dark) v = std::nearbyint(v / job->darkfield_mult);  // cvRound
+        v -= bg_i;                                              // saturating
+        if (v < 0) v = 0;
+        if (v > 65535) v = 65535;
+        dst[(size_t)y * n + x] = (uint16_t)v;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" int fpm_load_stack(
+    const char** paths, int n, int crop_x, int crop_y, int np_size, int bk1x,
+    int bk1y, int bk2x, int bk2y, double bg_threshold, int darkfield_mult,
+    const uint8_t* is_darkfield, int color_channel, int num_threads,
+    uint16_t* out_images, int16_t* out_bgs) {
+  Job job;
+  job.paths = paths;
+  job.n = n;
+  job.crop_x = crop_x;
+  job.crop_y = crop_y;
+  job.np_size = np_size;
+  job.bk1x = bk1x;
+  job.bk1y = bk1y;
+  job.bk2x = bk2x;
+  job.bk2y = bk2y;
+  job.bg_threshold = bg_threshold;
+  job.darkfield_mult = darkfield_mult;
+  job.is_darkfield = is_darkfield;
+  job.color_channel = color_channel;
+  job.out_images = out_images;
+  job.out_bgs = out_bgs;
+
+  int nt = num_threads > 0 ? num_threads
+                           : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > n) nt = n;
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; t++) threads.emplace_back(worker, &job);
+  for (auto& t : threads) t.join();
+  return job.failed.load();
+}

@@ -1,0 +1,83 @@
+"""Native C++ loader: bit-identical to the Python loader on TIFF stacks."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fpm_tpu import native
+from fpm_tpu.config import FPMConfig
+from fpm_tpu.data.loader import load_dataset
+
+NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "fpm_tpu", "native")
+
+
+@pytest.fixture(scope="module")
+def built():
+    if not native.available():
+        r = subprocess.run(["make", "-C", NATIVE_DIR], capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"native build failed: {r.stderr[-300:]}")
+        native._LIB_TRIED = False  # re-probe after build
+    if not native.available():
+        pytest.skip("native library unavailable")
+    return True
+
+
+def _make_cfg(tmp_path, color=False, darkfield_mult=1, n=12):
+    coords = np.array([[0.0, 0.0, 50.0], [5.0, 0.0, 50.0], [0.0, 5.0, 50.0],
+                       [30.0, 0.0, 50.0]])
+    return FPMConfig(
+        dataset_root=str(tmp_path) + os.sep,
+        np_size=n, crop_x=3, crop_y=5,
+        bk1_crop_x=30, bk1_crop_y=30, bk2_crop_x=2, bk2_crop_y=30,
+        bg_threshold=90.0, color=color,
+        darkfield_exp_multiplier=darkfield_mult,
+        pixel_size=1.0, objective_mag=1.0, objective_na=0.3,
+        max_illumination_na=0.8, wavelength=0.5,
+        led_count=len(coords), hole_coordinates=coords,
+    )
+
+
+def _write_gray16(path, rng):
+    img = rng.integers(0, 4000, size=(48, 48), dtype=np.uint16)
+    Image.fromarray(img).save(path)
+
+
+def _write_rgb8(path, rng):
+    img = rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8)
+    Image.fromarray(img).save(path)
+
+
+def test_native_matches_python_gray16(tmp_path, built):
+    rng = np.random.default_rng(0)
+    for led in (1, 2, 3, 4):
+        _write_gray16(tmp_path / f"iLED_{led}.tif", rng)
+    cfg = _make_cfg(tmp_path, darkfield_mult=3)
+    ds_py = load_dataset(cfg, use_native=False)
+    ds_nat = load_dataset(cfg, use_native=True)
+    np.testing.assert_array_equal(ds_nat.images, ds_py.images)
+    np.testing.assert_array_equal(ds_nat.bg_values, ds_py.bg_values)
+
+
+def test_native_matches_python_rgb(tmp_path, built):
+    rng = np.random.default_rng(1)
+    for led in (1, 2, 3):
+        _write_rgb8(tmp_path / f"iLED_{led}.tif", rng)
+    cfg = _make_cfg(tmp_path, color=True)
+    ds_py = load_dataset(cfg, use_native=False)
+    ds_nat = load_dataset(cfg, use_native=True)
+    np.testing.assert_array_equal(ds_nat.images, ds_py.images)
+
+
+def test_native_error_on_missing_file(tmp_path, built):
+    cfg = _make_cfg(tmp_path)
+    rng = np.random.default_rng(2)
+    _write_gray16(tmp_path / "iLED_1.tif", rng)
+    with pytest.raises(RuntimeError, match="native loader failed"):
+        native.load_and_preprocess(
+            [str(tmp_path / "iLED_1.tif"), str(tmp_path / "nope.tif")],
+            cfg, np.zeros(2, bool), 0,
+        )
