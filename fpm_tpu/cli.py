@@ -43,6 +43,16 @@ def _add_run_parser(sub):
                    help="dump intermediate spectra PNGs per sweep (reference "
                         "'debug' flag equivalent, fpmMain.cpp:352-455)")
     p.add_argument("--no-native", action="store_true", help="force Python loader")
+    p.add_argument("--fov-grid", type=int, nargs=2, metavar=("R", "C"), default=None,
+                   help="large-FOV mode: reconstruct an RxC grid of "
+                        "overlapping ROIs and stitch (reference covers a "
+                        "single ROI only)")
+    p.add_argument("--fov-overlap", type=int, default=None,
+                   help="camera-pixel ROI overlap for --fov-grid (default Np/4)")
+    p.add_argument("--color-mode", choices=["single", "rgb"], default="single",
+                   help="'single' keeps one channel like the reference "
+                        "(quirk 3: BGR channel 2 = red); 'rgb' reconstructs "
+                        "all three channels independently")
     return p
 
 
@@ -59,6 +69,10 @@ def main(argv=None) -> int:
     p_sim.add_argument("--np-size", type=int, default=32)
     p_sim.add_argument("--grid", type=int, default=7)
     p_sim.add_argument("--seed", type=int, default=0)
+    p_sim.add_argument("--frame-size", type=int, default=None,
+                       help="simulate full camera frames of this size "
+                            "(> np-size) for large-FOV mode; cropSizeX in "
+                            "the written config stays np-size")
 
     args = parser.parse_args(argv)
     try:
@@ -100,7 +114,10 @@ def _cmd_simulate(args) -> int:
 
     from .data.simulate import synthetic_dataset
 
-    ds = synthetic_dataset(np_size=args.np_size, grid=args.grid, seed=args.seed,
+    sim_size = args.frame_size or args.np_size
+    if sim_size < args.np_size:
+        raise ValueError("--frame-size must be >= --np-size")
+    ds = synthetic_dataset(np_size=sim_size, grid=args.grid, seed=args.seed,
                            quantize=True)
     os.makedirs(args.out_dir, exist_ok=True)
     # Write TIFFs in the reference's file layout ({prefix}{led#}{ext}) so the
@@ -168,6 +185,11 @@ def _cmd_run(args) -> int:
     if args.trace_dir:
         start_trace(args.trace_dir)
 
+    if args.fov_grid:
+        return _run_large_fov(args, cfg, logger)
+    if args.color_mode == "rgb":
+        return _run_rgb(args, cfg, logger)
+
     with phase("ingest", logger):
         dataset = load_dataset(cfg, use_native=False if args.no_native else None)
     logger.log("dataset", leds=int(dataset.geom.num_leds))
@@ -228,6 +250,66 @@ def _cmd_run(args) -> int:
         stop_trace()
     logger.close()
     print(f"[fpm-tpu] results written to {args.output}")
+    return 0
+
+
+def _run_large_fov(args, cfg, logger) -> int:
+    import numpy as np
+
+    from .data.loader import load_dataset
+    from .models.largefov import reconstruct_large_fov
+    from .utils.outputs import SHOW_AMP_PHASE, save_complex_img
+    from .utils.profiling import phase
+
+    with phase("ingest", logger):
+        dataset = load_dataset(cfg, full_frames=True)
+    rows, cols = args.fov_grid
+    print(f"[fpm-tpu] large-FOV: {rows}x{cols} tiles of Np={cfg.np_size}")
+
+    with phase("solve", logger):
+        res = reconstruct_large_fov(
+            dataset.images, dataset.geom, cfg,
+            grid=(rows, cols), overlap=args.fov_overlap,
+            mode=args.mode, global_max=args.global_max,
+            progress=lambda r, c, t: logger.log(
+                "tile", row=r, col=c,
+                data_residual=float(t.metrics["data_residual"][-1])),
+        )
+
+    with phase("output", logger):
+        np.save(os.path.join(args.output, "object_stitched.npy"), res.stitched)
+        save_complex_img(res.stitched, SHOW_AMP_PHASE,
+                         os.path.join(args.output, "object_stitched"))
+    logger.close()
+    print(f"[fpm-tpu] stitched {rows * cols} tiles -> {args.output}")
+    return 0
+
+
+def _run_rgb(args, cfg, logger) -> int:
+    import dataclasses
+
+    import numpy as np
+
+    from .data.loader import load_dataset
+    from .models.epry import reconstruct
+    from .utils.outputs import save_png, save_results
+    from .utils.profiling import phase
+
+    amps = []
+    for name, bgr in (("red", 2), ("green", 1), ("blue", 0)):
+        ch_cfg = dataclasses.replace(cfg, color=True, color_channel=bgr)
+        with phase(f"ingest[{name}]", logger):
+            dataset = load_dataset(ch_cfg, use_native=False if args.no_native else None)
+        with phase(f"solve[{name}]", logger):
+            res = reconstruct(dataset.images, dataset.geom, ch_cfg,
+                              mode=args.mode, global_max=args.global_max)
+        save_results(res, os.path.join(args.output, name), ch_cfg)
+        amps.append(np.abs(res.obj_crop))
+    rgb = np.stack(amps, axis=-1)
+    rgb = rgb / (rgb.max() + 1e-30)
+    save_png(os.path.join(args.output, "object_rgb.png"), rgb)
+    logger.close()
+    print(f"[fpm-tpu] RGB reconstruction -> {args.output}")
     return 0
 
 

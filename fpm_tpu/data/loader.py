@@ -113,13 +113,42 @@ def preprocess_image(
     return img, bg
 
 
+def preprocess_full_frame(
+    full_img: np.ndarray, cfg: FPMConfig, is_darkfield: bool
+) -> tuple[np.ndarray, int]:
+    """Darkfield scaling + background subtraction WITHOUT the ROI crop.
+
+    Used by the large-FOV tiling mode (models/largefov.py), which crops many
+    overlapping ROIs later. Same bg estimate and saturation semantics as
+    :func:`preprocess_image`.
+    """
+    np_sz = cfg.np_size
+    img = full_img.astype(np.float64)
+    if cfg.darkfield_exp_multiplier != 1 and is_darkfield:
+        img = np.rint(img / cfg.darkfield_exp_multiplier)
+    bk1 = full_img[
+        cfg.bk1_crop_y : cfg.bk1_crop_y + np_sz, cfg.bk1_crop_x : cfg.bk1_crop_x + np_sz
+    ].mean()
+    bk2 = full_img[
+        cfg.bk2_crop_y : cfg.bk2_crop_y + np_sz, cfg.bk2_crop_x : cfg.bk2_crop_x + np_sz
+    ].mean()
+    bg_val = min((bk1 + bk2) / 2.0, cfg.bg_threshold)
+    bg = int(round(bg_val))
+    return np.clip(img - bg, 0, 65535).astype(np.uint16), bg
+
+
 def load_dataset(
-    cfg: FPMConfig, use_native: bool | None = None, num_threads: int = 0
+    cfg: FPMConfig,
+    use_native: bool | None = None,
+    num_threads: int = 0,
+    full_frames: bool = False,
 ) -> LoadedDataset:
     """Scan, filter by NA, decode, and preprocess the full LED stack.
 
     ``use_native`` selects the C++ decode/preprocess path (default: auto —
     used when the shared library is built and files are TIFF).
+    ``full_frames=True`` keeps whole camera frames (no ROI crop) for the
+    large-FOV tiling mode — Python decode path only.
     """
     found = scan_directory(cfg)
     if not found:
@@ -143,12 +172,22 @@ def load_dataset(
     from .. import native
 
     if use_native is None:
-        use_native = native.available() and cfg.file_extension.lower() in (
-            ".tif",
-            ".tiff",
+        use_native = (
+            not full_frames
+            and native.available()
+            and cfg.file_extension.lower() in (".tif", ".tiff")
         )
 
-    if use_native:
+    if full_frames:
+        frames, bgs_l = [], []
+        for i, led in enumerate(geom.led_numbers):
+            full = _decode_image(paths[led], cfg.color, cfg.color_channel)
+            frame, bg = preprocess_full_frame(full, cfg, geom.is_darkfield[i])
+            frames.append(frame)
+            bgs_l.append(bg)
+        images = np.stack(frames)
+        bgs = np.asarray(bgs_l, dtype=np.int16)
+    elif use_native:
         images, bgs = native.load_and_preprocess(
             [paths[n] for n in geom.led_numbers], cfg, geom.is_darkfield, num_threads
         )

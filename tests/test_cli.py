@@ -57,3 +57,48 @@ def test_info(tmp_path, capsys):
     assert main(["info", os.path.join(data_dir, "dataset.json")]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["Nlarge"] == 48 and out["resImprovementFactor"] == 3
+
+
+def test_large_fov_run(tmp_path):
+    data_dir = str(tmp_path / "wide")
+    out_dir = str(tmp_path / "fovout")
+    assert main(["simulate", data_dir, "--np-size", "16", "--grid", "5",
+                 "--frame-size", "48"]) == 0
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    assert main(["run", cfg_path, "-n", "8", "-o", out_dir,
+                 "--dtype", "complex128", "--fov-grid", "2", "2",
+                 "--fov-overlap", "4"]) == 0
+    st = np.load(os.path.join(out_dir, "object_stitched.npy"))
+    # 16 + 12 = 28 camera px -> 84 high-res px (rif=3)
+    assert st.shape == (84, 84)
+    assert os.path.exists(os.path.join(out_dir, "object_stitched_amp.png"))
+
+
+def test_rgb_run(tmp_path):
+    import json as _json
+
+    from PIL import Image
+
+    data_dir = tmp_path / "rgbdata"
+    out_dir = str(tmp_path / "rgbout")
+    # grayscale sim -> replicate into RGB frames
+    assert main(["simulate", str(tmp_path / "gray"), "--np-size", "16",
+                 "--grid", "5"]) == 0
+    cfg_doc = _json.load(open(tmp_path / "gray" / "dataset.json"))
+    data_dir.mkdir()
+    for f in os.listdir(tmp_path / "gray"):
+        if f.endswith(".tif"):
+            g = np.asarray(Image.open(tmp_path / "gray" / f))
+            g8 = (np.clip(g, 0, 65535) / 257).astype(np.uint8)
+            Image.fromarray(np.stack([g8, g8, g8], axis=-1)).save(data_dir / f)
+    cfg_doc["datasetRoot"] = str(data_dir) + os.sep
+    cfg_doc["isColor"] = True
+    cfg_path = str(tmp_path / "rgb.json")
+    with open(cfg_path, "w") as fh:
+        _json.dump(cfg_doc, fh)
+    assert main(["run", cfg_path, "-n", "5", "-o", out_dir,
+                 "--dtype", "complex128", "--color-mode", "rgb",
+                 "--no-native"]) == 0
+    assert os.path.exists(os.path.join(out_dir, "object_rgb.png"))
+    for ch in ("red", "green", "blue"):
+        assert os.path.exists(os.path.join(out_dir, ch, "object.npy"))
