@@ -53,6 +53,16 @@ def _add_run_parser(sub):
                    help="'single' keeps one channel like the reference "
                         "(quirk 3: BGR channel 2 = red); 'rgb' reconstructs "
                         "all three channels independently")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="route the sequential sweep through the fused "
+                        "Pallas mega-kernel")
+    p.add_argument("--mesh", type=int, nargs=2, metavar=("LED", "TILE"),
+                   default=None,
+                   help="multi-device mesh: LED-batch x spectrum-tile "
+                        "sharding (batched sweep semantics)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed from FPM_COORDINATOR/"
+                        "FPM_NUM_PROCESSES/FPM_PROCESS_ID (multi-host)")
     return p
 
 
@@ -170,6 +180,11 @@ def _cmd_run(args) -> int:
     from .utils.outputs import save_results
     from .utils.profiling import phase, start_trace, stop_trace
 
+    if args.distributed:
+        from .parallel.multihost import initialize_from_env
+
+        initialize_from_env()
+
     iterations = args.iterations if args.iterations is not None else args.iterations_pos
     cfg = load_config(args.config, iterations=iterations)
     if args.dtype:
@@ -214,16 +229,32 @@ def _cmd_run(args) -> int:
 
     result = None
     with phase("solve", logger):
+        solver_kwargs = dict(mode=args.mode, global_max=args.global_max)
+        if args.mesh:
+            from .parallel import make_mesh, reconstruct_tile_sharded
+
+            mesh = make_mesh(led=args.mesh[0], tile=args.mesh[1])
+            print(f"[fpm-tpu] mesh: led={args.mesh[0]} tile={args.mesh[1]} "
+                  f"({len(mesh.devices.ravel())} devices)")
+
+            def run_chunk(step, initial_state):
+                return reconstruct_tile_sharded(
+                    dataset.images, dataset.geom, cfg, mesh=mesh,
+                    iterations=step, initial_state=initial_state,
+                    global_max=args.global_max,
+                )
+        else:
+            def run_chunk(step, initial_state):
+                return reconstruct(
+                    dataset.images, dataset.geom, cfg,
+                    iterations=step, initial_state=initial_state,
+                    use_pallas=args.use_pallas, **solver_kwargs,
+                )
+
         done = start_iter
         while done < total:
             step = min(chunk, total - done)
-            result = reconstruct(
-                dataset.images, dataset.geom, cfg,
-                iterations=step,
-                mode=args.mode,
-                global_max=args.global_max,
-                initial_state=initial_state,
-            )
+            result = run_chunk(step, initial_state)
             done += step
             initial_state = (result.obj_f_centered, result.pupil)
             logger.log("iterations", done=done,

@@ -229,6 +229,31 @@ def sweep_sequential(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     return obj_f, pupil, per_led.sum(axis=0)
 
 
+def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
+    """Sequential sweep routed through the fused Pallas mega-kernel.
+
+    Equivalent to :func:`sweep_sequential` with ``global_max='exact'``
+    (fpm_tpu/ops/pallas_kernels.py); metrics are not collected in-kernel.
+    """
+    import jax as _jax
+
+    from ..ops.pallas_kernels import fused_epry_sweep
+
+    o_planes = jnp.stack([jnp.real(obj_f), jnp.imag(obj_f)]).astype(jnp.float32)
+    p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
+    support_r = jnp.real(support).astype(jnp.float32)
+    o_out, p_out = fused_epry_sweep(
+        o_planes, p_planes, support_r,
+        amps.astype(jnp.float32), starts.reshape(-1),
+        np_size=opts.np_size, n_large=opts.n_large,
+        delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
+        interpret=_jax.default_backend() != "tpu",
+    )
+    obj_f = (o_out[0] + 1j * o_out[1]).astype(obj_f.dtype)
+    pupil = (p_out[0] + 1j * p_out[1]).astype(pupil.dtype)
+    return obj_f, pupil, jnp.zeros((2,), dtype=amps.dtype)
+
+
 def sweep_batched(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     """One epoch-synchronous (Jacobi) sweep: all LEDs from the same state.
 
@@ -294,7 +319,12 @@ def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, u
     else:
         obj_f, pupil = init_traced(amps, support_r, opts)
 
-    sweep = sweep_sequential if opts.mode == "sequential" else sweep_batched
+    if opts.use_pallas:
+        if opts.mode != "sequential":
+            raise ValueError("use_pallas supports the sequential mode only")
+        sweep = sweep_pallas
+    else:
+        sweep = sweep_sequential if opts.mode == "sequential" else sweep_batched
 
     def body(carry, _):
         obj_f, pupil = carry

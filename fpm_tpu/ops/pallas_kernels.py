@@ -10,18 +10,27 @@ host↔device round trip (fpmMain.cpp:348-476). Here the *entire sweep* is one
   exactly the Gauss–Seidel LED ordering; the measured-amplitude block for
   LED k+1 is DMA'd from HBM while LED k computes (automatic block
   pipelining).
-* The large object spectrum (real/imag planes) stays **resident in VMEM**
-  for the whole sweep via input/output aliasing — zero HBM traffic for the
-  spectrum between LEDs. (Fits comfortably: Nlarge=600 → 2.9 MB of 16 MB;
-  the tile-sharded path covers spectra beyond VMEM.)
-* The per-LED 2D FFT/IFFT run on the **MXU** as complex DFT matmuls
-  (4 real matmuls each) with the DFT matrices held in VMEM.
+* The large object spectrum (real/imag float32 planes, lane-padded to 128)
+  stays **resident in VMEM** for the whole sweep via input/output aliasing —
+  zero HBM traffic for the spectrum between LEDs (Nlarge=600 → ~3 MB of
+  16 MB VMEM; spectra beyond VMEM take the tile-sharded path instead).
+* All per-LED math happens in the **centered patch frame**: for even N the
+  reference's four patch fftshifts per LED (fpmMain.cpp:358-362,432) fold
+  into the DFT matrices as row/column permutations precomputed on the host
+  (``fftshift(fft2(y)) = (S F) y (F S)`` with S the half-roll permutation),
+  so the kernel contains no per-LED shifts at all — and the 2D FFT/IFFT run
+  on the **MXU** as complex DFT matmuls (4 real matmuls each).
+* Dynamic patch windows: Mosaic needs 8-aligned sublane offsets and
+  8×128-aligned shapes for vector ops, so reads slice an aligned
+  (W, lanes)-window and rotate the residual (row, lane) offset in with
+  dynamic ``pltpu.roll``; writes build an aligned delta block and rotate it
+  out. W = Np+8 rounded up to 8; the spectrum is padded accordingly.
 * The per-LED global ``max|O|`` (the reference's full-spectrum
   ``cv::minMaxLoc``, fpmMain.cpp:467) is a VPU reduction over the
   VMEM-resident spectrum — exact semantics at on-chip bandwidth.
 
-Everything is float32 planes (complex never materializes), matching the
-solver's real-boundary convention.
+The pupil lives in the centered frame inside the kernel; the wrapper
+converts from/to the solver's DC-at-corner convention.
 """
 
 from __future__ import annotations
@@ -37,6 +46,33 @@ from jax.experimental.pallas import tpu as pltpu
 from .fft import _dft_matrix_np
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _shifted_dft_mats(n: int):
+    """Host-precomputed DFT matrices with the fftshift permutations folded in.
+
+    For even n the half-roll permutation S satisfies S = Sᵀ = S⁻¹, so
+      fftshift(fft2(y))     = (S·F) y (F·S)      — forward, centered output
+      ifft2(ifftshift(X))   = (F⁻¹·S) X (S·F⁻¹)  — centered input
+    Returned as float32 real/imag plane pairs (af, bf, ai, bi).
+    """
+    h = n // 2
+    fwd = _dft_matrix_np(n, False, "complex64")
+    inv = _dft_matrix_np(n, True, "complex64")
+    af = np.roll(fwd, -h, axis=0)   # S @ F
+    bf = np.roll(fwd, -h, axis=1)   # F @ S
+    ai = np.roll(inv, -h, axis=1)   # F⁻¹ @ S
+    bi = np.roll(inv, -h, axis=0)   # S @ F⁻¹
+    out = []
+    for m in (af, bf, ai, bi):
+        out.append(np.ascontiguousarray(m.real, np.float32))
+        out.append(np.ascontiguousarray(m.imag, np.float32))
+    return tuple(out)
+
+
 def _cmatmul(ar, ai, br, bi):
     """(ar+i·ai) @ (br+i·bi) as four real MXU matmuls."""
     rr = jnp.dot(ar, br, preferred_element_type=jnp.float32) - jnp.dot(
@@ -48,48 +84,64 @@ def _cmatmul(ar, ai, br, bi):
     return rr, ri
 
 
-def _fft2_planes(zr, zi, fr, fi):
-    """2D DFT via F @ z @ F (symmetric F, so no transposes)."""
-    tr, ti = _cmatmul(fr, fi, zr, zi)
-    return _cmatmul(tr, ti, fr, fi)
+def _dft2(zr, zi, a_r, a_i, b_r, b_i):
+    """A @ z @ B on complex planes (two complex matmuls)."""
+    tr, ti = _cmatmul(a_r, a_i, zr, zi)
+    return _cmatmul(tr, ti, b_r, b_i)
 
 
-def _shift2(x, h):
-    """fftshift for even sizes: roll by half along both axes."""
-    return pltpu.roll(pltpu.roll(x, h, 0), h, 1)
+def _read_window(o_ref, plane, ys0, dy, xs, n, w):
+    """Read the (n, n) window at dynamic offset (ys0+dy, xs).
+
+    Slices an (w, full-lane) block at the 8-aligned row ``ys0``, rotates the
+    residual offsets in with dynamic rolls (legal on the 8×128-aligned block
+    shape), then takes the static corner.
+    """
+    blk = o_ref[plane, pl.ds(pl.multiple_of(ys0, 8), w), :]
+    blk = pltpu.roll(pltpu.roll(blk, -dy, 0), -xs, 1)
+    return blk[0:n, 0:n]
+
+
+def _add_window(o_ref, plane, ys0, dy, xs, delta, n, w, lanes):
+    """Add an (n, n) delta into the plane at dynamic offset (ys0+dy, xs)."""
+    blk = jnp.pad(delta, ((0, w - n), (0, lanes - n)))
+    blk = pltpu.roll(pltpu.roll(blk, dy, 0), xs, 1)
+    cur = o_ref[plane, pl.ds(pl.multiple_of(ys0, 8), w), :]
+    o_ref[plane, pl.ds(pl.multiple_of(ys0, 8), w), :] = cur + blk
 
 
 def _sweep_kernel(
     # scalar prefetch
     starts_ref,
-    # inputs (blocked / full)
-    amp_ref, sup_ref, fwd_r_ref, fwd_i_ref, inv_r_ref, inv_i_ref,
+    # inputs
+    amp_ref, sup_ref,
+    af_r, af_i, bf_r, bf_i, ai_r, ai_i, bi_r, bi_i,
     o_in_ref, p_in_ref,
     # outputs (aliased)
     o_ref, p_ref,
-    *, np_size: int, delta1: float, delta2: float, eps: float,
+    *, np_size: int, win: int, lanes: int,
+    delta1: float, delta2: float, eps: float,
 ):
     k = pl.program_id(0)
     n = np_size
-    h = n // 2
 
     ys = starts_ref[2 * k]
     xs = starts_ref[2 * k + 1]
+    ys0 = (ys // 8) * 8
+    dy = ys - ys0
 
-    # --- crop the centered-frame patch; to corner frame (fpmMain.cpp:358-362)
-    pc_r = o_ref[0, pl.ds(ys, n), pl.ds(xs, n)]
-    pc_i = o_ref[1, pl.ds(ys, n), pl.ds(xs, n)]
-    oc_r = _shift2(pc_r, h)
-    oc_i = _shift2(pc_i, h)
+    # --- centered sub-spectrum patch (fpmMain.cpp:358-362, shift-free here)
+    oc_r = _read_window(o_ref, 0, ys0, dy, xs, n, win)
+    oc_i = _read_window(o_ref, 1, ys0, dy, xs, n, win)
 
-    # --- apply pupil (fpmMain.cpp:364)
+    # --- apply (centered) pupil (fpmMain.cpp:364)
     p_r = p_ref[0]
     p_i = p_ref[1]
     ocp_r = oc_r * p_r - oc_i * p_i
     ocp_i = oc_r * p_i + oc_i * p_r
 
-    # --- to image plane: IFFT as MXU matmul-DFT (fpmMain.cpp:365)
-    img_r, img_i = _fft2_planes(ocp_r, ocp_i, inv_r_ref[...], inv_i_ref[...])
+    # --- to image plane: IFFT∘ifftshift folded into the matrices
+    img_r, img_i = _dft2(ocp_r, ocp_i, ai_r[...], ai_i[...], bi_r[...], bi_i[...])
 
     # --- amplitude replacement preserving phase (fpmMain.cpp:377-394);
     #     eps on the real part only, as the reference's scalar cv::add.
@@ -99,8 +151,8 @@ def _sweep_kernel(
     rep_r = img_r * scale
     rep_i = img_i * scale
 
-    # --- back to Fourier plane (fpmMain.cpp:394)
-    up_r, up_i = _fft2_planes(rep_r, rep_i, fwd_r_ref[...], fwd_i_ref[...])
+    # --- back to the centered Fourier frame: fftshift∘FFT folded in
+    up_r, up_i = _dft2(rep_r, rep_i, af_r[...], af_i[...], bf_r[...], bf_i[...])
     d_r = up_r - ocp_r
     d_i = up_i - ocp_i
 
@@ -110,14 +162,12 @@ def _sweep_kernel(
     pabs = jnp.sqrt(pabs2)
     pmax = jnp.sqrt(jnp.max(pabs2))
     denom_o = pmax * (pabs2 + delta2)
-    wr = pabs * p_r / denom_o    # Re of |P|·conj(P)/denom
-    wi = -pabs * p_i / denom_o   # Im (conjugate)
+    wr = pabs * p_r / denom_o
+    wi = -pabs * p_i / denom_o
     do_r = d_r * wr - d_i * wi
     do_i = d_r * wi + d_i * wr
-    do_r = _shift2(do_r, h)
-    do_i = _shift2(do_i, h)
-    o_ref[0, pl.ds(ys, n), pl.ds(xs, n)] = pc_r + do_r
-    o_ref[1, pl.ds(ys, n), pl.ds(xs, n)] = pc_i + do_i
+    _add_window(o_ref, 0, ys0, dy, xs, do_r, n, win, lanes)
+    _add_window(o_ref, 1, ys0, dy, xs, do_i, n, win, lanes)
 
     # --- global max|O| over the *updated* VMEM-resident spectrum
     #     (fpmMain.cpp:460,467: minMaxLoc over the full objF)
@@ -139,9 +189,9 @@ def _sweep_kernel(
     jax.jit, static_argnames=("np_size", "n_large", "delta1", "delta2", "eps", "interpret")
 )
 def fused_epry_sweep(
-    o_planes,       # (2, Nlarge, Nlarge) f32
-    p_planes,       # (2, Np, Np) f32
-    support,        # (Np, Np) f32
+    o_planes,       # (2, Nlarge, Nlarge) f32, centered frame
+    p_planes,       # (2, Np, Np) f32, DC-at-corner frame (solver convention)
+    support,        # (Np, Np) f32, DC-at-corner frame
     amps,           # (K, Np, Np) f32, schedule order
     starts_flat,    # (2K,) int32: [y0, x0, y1, x1, ...]
     *,
@@ -152,47 +202,54 @@ def fused_epry_sweep(
     eps: float,
     interpret: bool = False,
 ):
-    """One full sequential EPRY sweep as a single fused Pallas kernel."""
+    """One full sequential EPRY sweep as a single fused Pallas kernel.
+
+    Numerically equivalent to ``models.epry.sweep_sequential`` with
+    ``global_max='exact'`` (validated in tests to f32 precision).
+    """
     k = amps.shape[0]
     n = np_size
-    fwd = _dft_matrix_np(n, False, "complex64")
-    inv = _dft_matrix_np(n, True, "complex64")
+    win = _round_up(n + 8, 8)
+    lanes = _round_up(n_large, 128)
+    pad_rows = win - n  # ys0 ≤ Nlarge - Np ⇒ ys0 + win ≤ Nlarge + pad_rows
     f32 = jnp.float32
-    consts = [
-        jnp.asarray(m, f32)
-        for m in (fwd.real, fwd.imag, inv.real, inv.imag)
-    ]
+
+    mats = [jnp.asarray(m) for m in _shifted_dft_mats(n)]
+
+    # Kernel-side pupil/support live in the centered frame.
+    p_centered = jnp.roll(p_planes, (n // 2, n // 2), axis=(1, 2))
+    sup_centered = jnp.roll(support, (n // 2, n // 2), axis=(0, 1))
+
+    o_padded = jnp.pad(o_planes, ((0, 0), (0, pad_rows), (0, lanes - n_large)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda i, s: (i, 0, 0)),        # amps: per-LED block
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # support
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # fwd_r
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # fwd_i
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # inv_r
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # inv_i
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # o_in (aliased)
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # p_in (aliased)
-        ],
+            pl.BlockSpec((1, n, n), lambda i, s: (i, 0, 0)),  # amps per-LED block
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,  # sup, 8 DFT mats, o, p
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # o_out
-            pl.BlockSpec(memory_space=pltpu.VMEM),                  # p_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
     )
 
     kernel = functools.partial(
-        _sweep_kernel, np_size=n, delta1=delta1, delta2=delta2, eps=eps
+        _sweep_kernel, np_size=n, win=win, lanes=lanes,
+        delta1=delta1, delta2=delta2, eps=eps,
     )
     o_out, p_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((2, n_large, n_large), f32),
+            jax.ShapeDtypeStruct((2, n_large + pad_rows, lanes), f32),
             jax.ShapeDtypeStruct((2, n, n), f32),
         ),
-        input_output_aliases={7: 0, 8: 1},  # o_in→o_out, p_in→p_out
+        input_output_aliases={11: 0, 12: 1},  # o_in→o_out, p_in→p_out
         interpret=interpret,
-    )(starts_flat, amps, support, *consts, o_planes, p_planes)
-    return o_out, p_out
+    )(starts_flat, amps, sup_centered, *mats, o_padded, p_centered)
+
+    # Back to solver conventions: trim padding, pupil to corner frame.
+    p_corner = jnp.roll(p_out, (-(n // 2), -(n // 2)), axis=(1, 2))
+    return o_out[:, :n_large, :n_large], p_corner

@@ -170,12 +170,14 @@ def reconstruct_tile_sharded(
     mesh: Mesh,
     iterations: int | None = None,
     dtype=None,
+    initial_state: tuple | None = None,
     **opt_overrides,
 ) -> ReconResult:
     """Multi-device reconstruction with the spectrum row-sharded over 'tile'.
 
     Combines with LED parallelism: the mesh's ``led`` axis splits each tile's
-    owned LEDs.
+    owned LEDs. ``initial_state`` is an optional (obj_f_centered, pupil)
+    pair for checkpoint resume.
     """
     dtype = jnp.dtype(dtype or cfg.dtype)
     n_led, n_tile = mesh.shape["led"], mesh.shape["tile"]
@@ -211,6 +213,9 @@ def reconstruct_tile_sharded(
     obj_f, pupil, support = init_state(
         cfg, geom, jnp.asarray(amps0, dtype=real_dtype), dtype=dtype
     )
+    if initial_state is not None:
+        obj_f = jnp.asarray(initial_state[0], dtype=dtype)
+        pupil = jnp.asarray(initial_state[1], dtype=dtype)
 
     obj_sh = NamedSharding(mesh, P("tile", None))
     rep = NamedSharding(mesh, P())

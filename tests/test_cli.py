@@ -102,3 +102,28 @@ def test_rgb_run(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "object_rgb.png"))
     for ch in ("red", "green", "blue"):
         assert os.path.exists(os.path.join(out_dir, ch, "object.npy"))
+
+
+def test_mesh_run(tmp_path):
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    out_dir = str(tmp_path / "meshout")
+    assert main(["run", cfg_path, "-n", "10", "-o", out_dir,
+                 "--dtype", "complex128", "--mesh", "4", "2",
+                 "--no-native"]) == 0
+    obj = np.load(os.path.join(out_dir, "object.npy"))
+    truth = np.load(os.path.join(data_dir, "object_true.npy"))
+    a, t = np.abs(obj), np.abs(truth)
+    s = (t * a).sum() / (a * a).sum()
+    assert np.sqrt(((a * s - t) ** 2).mean()) / t.mean() < 0.15
+
+
+def test_pallas_cli_run(tmp_path):
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    out_dir = str(tmp_path / "pallasout")
+    assert main(["run", cfg_path, "-n", "10", "-o", out_dir,
+                 "--use-pallas", "--no-native"]) == 0
+    assert os.path.exists(os.path.join(out_dir, "object.npy"))
