@@ -39,7 +39,7 @@ def make_problem():
     return cfg, geom, images
 
 
-def bench_tpu(cfg, geom, images, reps=6, lo=10, hi=210):
+def bench_tpu(cfg, geom, images, reps=8, lo=10, hi=510, **solver_kwargs):
     """Steady-state device LED-frames/s of the jitted sequential solver.
 
     A single dispatch through this rig's TPU tunnel carries a fixed ~0.5 s
@@ -51,11 +51,13 @@ def bench_tpu(cfg, geom, images, reps=6, lo=10, hi=210):
     from fpm_tpu.models.epry import reconstruct
 
     def timed(iters):
-        reconstruct(images, geom, cfg, iterations=iters, dtype="complex64")  # compile
+        reconstruct(images, geom, cfg, iterations=iters, dtype="complex64",
+                    **solver_kwargs)  # compile
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            reconstruct(images, geom, cfg, iterations=iters, dtype="complex64")
+            reconstruct(images, geom, cfg, iterations=iters, dtype="complex64",
+                        **solver_kwargs)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         return best
@@ -94,10 +96,21 @@ def bench_oracle(cfg, geom, images):
 
 
 def main():
-    cfg, geom, images = make_problem()
-    fps, sec_per_iter = bench_tpu(cfg, geom, images)
-    base = bench_oracle(cfg, geom, images)
     import jax
+
+    cfg, geom, images = make_problem()
+    # Headline: the fused Pallas sweep — exact sequential Gauss–Seidel
+    # semantics (matches the float64 oracle to ~1e-8), spectrum VMEM-resident.
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        fps, sec_per_iter = bench_tpu(
+            cfg, geom, images, use_pallas=True, collect_metrics=False
+        )
+        fps_xla, _ = bench_tpu(cfg, geom, images, lo=10, hi=110)
+    else:
+        fps, sec_per_iter = bench_tpu(cfg, geom, images, lo=2, hi=10, reps=2)
+        fps_xla = fps
+    base = bench_oracle(cfg, geom, images)
 
     print(
         json.dumps(
@@ -107,11 +120,12 @@ def main():
                 "unit": "LED-frames/s",
                 "vs_baseline": round(fps / base, 2),
                 "baseline_led_frames_per_s": round(base, 2),
-                "seconds_per_iteration": round(sec_per_iter, 5),
+                "seconds_per_iteration": round(sec_per_iter, 6),
+                "xla_path_led_frames_per_s": round(fps_xla, 2),
                 "num_leds": int(geom.num_leds),
                 "np_size": cfg.np_size,
                 "n_large": cfg.n_large,
-                "mode": "sequential(exact)",
+                "mode": "sequential(exact, fused-pallas)" if on_tpu else "sequential(exact)",
                 "backend": jax.default_backend(),
             }
         )

@@ -66,9 +66,17 @@ def _matmul_fft2(x: jax.Array, inverse: bool) -> jax.Array:
     n, m = x.shape[-2], x.shape[-1]
     frow = dft_matrix(n, inverse, x.dtype)
     fcol = dft_matrix(m, inverse, x.dtype) if m != n else frow
-    # rows then columns: (F_n @ X) @ F_m^T — symmetric matrices so no transpose.
-    y = jnp.einsum("ij,...jk->...ik", frow, x, preferred_element_type=x.dtype)
-    return jnp.einsum("...ij,jk->...ik", y, fcol, preferred_element_type=x.dtype)
+    # rows then columns: (F_n @ X) @ F_m^T — symmetric matrices so no
+    # transpose. HIGHEST precision: TPU f32 matmuls otherwise run as
+    # single-pass bf16, far too coarse for an iterative solver's FFTs.
+    y = jnp.einsum(
+        "ij,...jk->...ik", frow, x,
+        preferred_element_type=x.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.einsum(
+        "...ij,jk->...ik", y, fcol,
+        preferred_element_type=x.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def fft2(x: jax.Array, impl: str | None = None) -> jax.Array:

@@ -74,13 +74,19 @@ def _shifted_dft_mats(n: int):
 
 
 def _cmatmul(ar, ai, br, bi):
-    """(ar+i·ai) @ (br+i·bi) as four real MXU matmuls."""
-    rr = jnp.dot(ar, br, preferred_element_type=jnp.float32) - jnp.dot(
-        ai, bi, preferred_element_type=jnp.float32
+    """(ar+i·ai) @ (br+i·bi) as four real MXU matmuls.
+
+    HIGHEST precision: TPU f32 matmuls otherwise run as single-pass bf16
+    (~1e-2 relative error), which is far too coarse for the DFT inside an
+    iterative phase-retrieval loop.
+    """
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    ri = jnp.dot(ar, bi, preferred_element_type=jnp.float32) + jnp.dot(
-        ai, br, preferred_element_type=jnp.float32
-    )
+    rr = dot(ar, br) - dot(ai, bi)
+    ri = dot(ar, bi) + dot(ai, br)
     return rr, ri
 
 
@@ -98,7 +104,10 @@ def _read_window(o_ref, plane, ys0, dy, xs, n, w):
     shape), then takes the static corner.
     """
     blk = o_ref[plane, pl.ds(pl.multiple_of(ys0, 8), w), :]
-    blk = pltpu.roll(pltpu.roll(blk, -dy, 0), -xs, 1)
+    # Positive modular shifts only: dynamic pltpu.roll with negative shifts
+    # miscompiles on TPU (verified empirically — wrong data, no error).
+    lanes = blk.shape[1]
+    blk = pltpu.roll(pltpu.roll(blk, w - dy, 0), lanes - xs, 1)
     return blk[0:n, 0:n]
 
 
