@@ -340,6 +340,16 @@ def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, u
     return _planes(obj_f), _planes(pupil), _planes(obj_crop), metrics
 
 
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _residual_jit(obj_planes, pupil_planes, amps, starts, opts: EPRYOptions):
+    """Data-fidelity residual Σ(A − |ifft2(crop·P)|)² of a state (batched)."""
+    obj_f = obj_planes[0] + 1j * obj_planes[1]
+    pupil = pupil_planes[0] + 1j * pupil_planes[1]
+    patches = jax.vmap(lambda s: crop_patch(obj_f, s, opts.np_size))(starts)
+    fields = ifft2(fftshift2d(patches) * pupil)
+    return jnp.sum((amps - jnp.abs(fields)) ** 2)
+
+
 def _sorted_device_inputs(images, geom: LEDGeometry, dtype):
     """Sort amplitudes + crop starts into schedule order, ship to device."""
     real_dtype = jnp.dtype("float64" if jnp.dtype(dtype) == jnp.complex128 else "float32")
@@ -393,6 +403,12 @@ def reconstruct(
         amps, starts, support_r, obj_init, pupil_init, opts, use_init
     )
     metrics = np.asarray(metrics)
+    if opts.use_pallas and opts.collect_metrics:
+        # The fused kernel doesn't emit per-sweep metrics; evaluate the
+        # data-fidelity residual of the final state (one batched pass).
+        resid = float(_residual_jit(obj_p, pupil_p, amps, starts, opts))
+        metrics = metrics.copy()
+        metrics[-1, 0] = resid
     return ReconResult(
         obj_crop=_unplanes_np(obj_crop_p),
         obj_f_centered=_unplanes_np(obj_p),
