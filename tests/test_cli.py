@@ -127,3 +127,19 @@ def test_pallas_cli_run(tmp_path):
     assert main(["run", cfg_path, "-n", "10", "-o", out_dir,
                  "--use-pallas", "--no-native"]) == 0
     assert os.path.exists(os.path.join(out_dir, "object.npy"))
+
+
+def test_debug_mode_dumps_spectra(tmp_path):
+    """--debug mirrors the reference's 'debug' JSON flag (fpmMain.cpp:352-455):
+    intermediate spectrum + pupil images per sweep, as PNGs instead of GUI
+    windows."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    out_dir = str(tmp_path / "dbgout")
+    assert main(["run", cfg_path, "-n", "3", "-o", out_dir,
+                 "--dtype", "complex128", "--debug", "--no-native"]) == 0
+    dbg = os.path.join(out_dir, "debug")
+    for i in (1, 2, 3):
+        assert os.path.exists(os.path.join(dbg, f"iter{i:04d}_objF_mag.png"))
+        assert os.path.exists(os.path.join(dbg, f"iter{i:04d}_pupil_mag.png"))

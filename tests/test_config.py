@@ -121,3 +121,17 @@ def test_dome_fallback_and_order():
 def test_unknown_keys_warn():
     with pytest.warns(UserWarning, match="unknown config keys"):
         load_config({"cropSizeX": 32, "definitelyNotAKey": 1})
+
+
+def test_trailing_commas_jsoncpp_leniency(tmp_path):
+    """The reference parses configs with JsonCpp, which tolerates trailing
+    commas — and the bundled dataset files rely on that (e.g.
+    dataset_cellScope.json ends its coordinate array with ',]')."""
+    p = tmp_path / "trail.json"
+    p.write_text('{"cropSizeX": 32, "holeCoordinates": [\n'
+                 '  [{"x": 0.1}, {"y": 0.2}, {"z": 0.3}],\n'
+                 '], "ledCount": 1,}')
+    cfg = load_config(str(p))
+    assert cfg.np_size == 32
+    assert cfg.led_count == 1
+    np.testing.assert_allclose(cfg.hole_coordinates, [[0.1, 0.2, 0.3]])
