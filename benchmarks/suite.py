@@ -1,0 +1,127 @@
+"""Benchmark suite: all five reference dataset-config workloads + roofline.
+
+``bench.py`` at the repo root prints the single headline metric the driver
+records (mono-equivalent workload). This suite sweeps every bundled reference
+config's derived problem size (SURVEY.md §0 dataset files; sizes from the
+C++ derivation formulas, fpmMain.cpp:529-565), measures the fused-Pallas
+sequential sweep, the unfused XLA sequential sweep, and the batched (Jacobi)
+sweep, and reports per-workload MXU utilization against the matmul-DFT FLOP
+count — the SURVEY.md §4.5 "roofline check".
+
+FLOP accounting (per LED, per sweep, fused-Pallas path):
+  * IFFT + FFT of the Np² patch as complex matmul-DFTs: 2 DFTs x 2 complex
+    matmuls x 4 real (Np,Np)@(Np,Np) matmuls x 2·Np³ FLOPs = 32·Np³.
+  * Element-wise updates are O(Np²) — negligible against the matmuls.
+  * The per-LED global max|O| reads the Nlarge² spectrum (VPU, not MXU).
+
+Usage:  python benchmarks/suite.py [--quick] [-o results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Derived sizes of the five bundled reference configs (dataset.json and
+# dataset_mono.json share the mono optics). maxIlluminationNA picked so the
+# built-in dome table yields the same order of LED count the reference's
+# profiled run used (~156-193, BASELINE.md).
+WORKLOADS = {
+    # name: (np_size, pixel_size, objective_mag, objective_na, max_na, lambda)
+    "mono":       dict(np_size=90,  pixel_size=6.5, objective_mag=8.0,
+                       objective_na=0.2, max_illumination_na=0.45,
+                       wavelength=0.5),          # Nlarge=360 (dataset_mono.json)
+    "cellscope":  dict(np_size=100, pixel_size=6.9, objective_mag=8.25,
+                       objective_na=0.30, max_illumination_na=0.55,
+                       wavelength=0.45),         # Nlarge=600-ish (dataset_cellScope.json)
+    "dogstomach": dict(np_size=200, pixel_size=6.5, objective_mag=8.0,
+                       objective_na=0.2, max_illumination_na=0.30,
+                       wavelength=0.63),         # Np=200 histology (dataset_dogStomach.json)
+}
+
+
+def make_problem(name: str):
+    from fpm_tpu.config import FPMConfig
+    from fpm_tpu.data.simulate import make_test_object, simulate_images
+    from fpm_tpu.geometry import compute_geometry
+
+    cfg = FPMConfig(iterations=1, **WORKLOADS[name])
+    geom = compute_geometry(cfg)
+    obj_true = make_test_object(cfg.n_large, seed=0)
+    images = simulate_images(obj_true, geom, cfg, quantize=True)
+    return cfg, geom, images
+
+
+def timed_solver(cfg, geom, images, reps, lo, hi, **solver_kwargs):
+    """Differential device-resident timing — same rig as bench.bench_tpu
+    (device inputs placed once, scalar-fetch sync, (t_hi-t_lo)/(hi-lo))."""
+    from bench import bench_tpu
+
+    return bench_tpu(cfg, geom, images, reps=reps, lo=lo, hi=hi, **solver_kwargs)
+
+
+# f32 matmul peak of one TPU v5e chip (MXU at f32 ~= bf16 peak / 4).
+V5E_F32_MATMUL_PEAK = 197e12 / 4
+
+
+def run_workload(name: str, quick: bool):
+    import jax
+
+    cfg, geom, images = make_problem(name)
+    on_tpu = jax.default_backend() == "tpu"
+    k = int(geom.num_leds)
+    row = {
+        "workload": name, "np_size": cfg.np_size, "n_large": cfg.n_large,
+        "num_leds": k, "backend": jax.default_backend(),
+    }
+
+    reps = 4 if quick else 8
+    if on_tpu:
+        fps_p, sec_p = timed_solver(cfg, geom, images, reps, 10, 110,
+                                    use_pallas=True, collect_metrics=False)
+        fps_x, _ = timed_solver(cfg, geom, images, reps, 10, 110)
+        fps_b, _ = timed_solver(cfg, geom, images, reps, 10, 110,
+                                mode="batched")
+        mxu_flops = 32 * cfg.np_size**3 * k
+        row.update(
+            pallas_led_frames_per_s=round(fps_p, 1),
+            xla_seq_led_frames_per_s=round(fps_x, 1),
+            batched_led_frames_per_s=round(fps_b, 1),
+            pallas_seconds_per_iter=round(sec_p, 6),
+            matmul_dft_tflops=round(mxu_flops / sec_p / 1e12, 2),
+            mxu_utilization=round(mxu_flops / sec_p / V5E_F32_MATMUL_PEAK, 3),
+        )
+    else:
+        fps_x, sec_x = timed_solver(cfg, geom, images, 2, 2, 8)
+        row.update(xla_seq_led_frames_per_s=round(fps_x, 1),
+                   seconds_per_iter=round(sec_x, 6))
+    return row
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("-o", "--output", default=None)
+    ap.add_argument("--workloads", nargs="*", default=list(WORKLOADS))
+    args = ap.parse_args(argv)
+
+    rows = []
+    for name in args.workloads:
+        row = run_workload(name, args.quick)
+        print(json.dumps(row))
+        rows.append(row)
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(rows, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
