@@ -143,7 +143,7 @@ def main():
                 "num_leds": int(geom.num_leds),
                 "np_size": cfg.np_size,
                 "n_large": cfg.n_large,
-                "mode": "sequential(exact, fused-pallas)" if on_tpu else "sequential(exact)",
+                "mode": "sequential(fused-pallas, bf16x3-dft)" if on_tpu else "sequential(exact)",
                 "backend": jax.default_backend(),
             }
         )

@@ -56,6 +56,10 @@ def _add_run_parser(sub):
     p.add_argument("--use-pallas", action="store_true",
                    help="route the sequential sweep through the fused "
                         "Pallas mega-kernel")
+    p.add_argument("--dft-precision", choices=["bf16x3", "highest"],
+                   default="bf16x3",
+                   help="Pallas DFT matmul precision: 3-pass bf16 split "
+                        "(~1e-6 rel err, ~1.3x faster) or exact f32")
     p.add_argument("--mesh", type=int, nargs=2, metavar=("LED", "TILE"),
                    default=None,
                    help="multi-device mesh: LED-batch x spectrum-tile "
@@ -248,7 +252,8 @@ def _cmd_run(args) -> int:
                 return reconstruct(
                     dataset.images, dataset.geom, cfg,
                     iterations=step, initial_state=initial_state,
-                    use_pallas=args.use_pallas, **solver_kwargs,
+                    use_pallas=args.use_pallas,
+                    dft_precision=args.dft_precision, **solver_kwargs,
                 )
 
         done = start_iter

@@ -62,6 +62,7 @@ class EPRYOptions:
     pupil_step_scale: float = 1.0     # batched-mode pupil update scaling
     collect_metrics: bool = True
     use_pallas: bool = False          # route fused element-wise math via Pallas
+    dft_precision: str = "bf16x3"     # Pallas DFT matmuls: "bf16x3" | "highest"
     n_large: int = 0
     dtype: str = "complex64"          # on-device complex dtype
 
@@ -248,6 +249,7 @@ def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
         np_size=opts.np_size, n_large=opts.n_large,
         delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
         interpret=_jax.default_backend() != "tpu",
+        dft_precision=opts.dft_precision,
     )
     obj_f = (o_out[0] + 1j * o_out[1]).astype(obj_f.dtype)
     pupil = (p_out[0] + 1j * p_out[1]).astype(pupil.dtype)

