@@ -67,8 +67,12 @@ def timed_solver(cfg, geom, images, reps, lo, hi, **solver_kwargs):
     return bench_tpu(cfg, geom, images, reps=reps, lo=lo, hi=hi, **solver_kwargs)
 
 
-# f32 matmul peak of one TPU v5e chip (MXU at f32 ~= bf16 peak / 4).
-V5E_F32_MATMUL_PEAK = 197e12 / 4
+# One TPU v5e chip: 197 TF/s bf16 matmul peak. The fused-Pallas DFT path
+# runs 3-pass bf16 split products (_dot3), so each *counted* f32 FLOP costs
+# 3 bf16 MXU FLOPs — the attainable peak for counted FLOPs on that path is
+# bf16_peak/3. (dft_precision='highest' is 6-pass: bf16_peak/6.)
+V5E_BF16_MATMUL_PEAK = 197e12
+BF16X3_COUNTED_PEAK = V5E_BF16_MATMUL_PEAK / 3
 
 
 def run_workload(name: str, quick: bool):
@@ -96,7 +100,10 @@ def run_workload(name: str, quick: bool):
             batched_led_frames_per_s=round(fps_b, 1),
             pallas_seconds_per_iter=round(sec_p, 6),
             matmul_dft_tflops=round(mxu_flops / sec_p / 1e12, 2),
-            mxu_utilization=round(mxu_flops / sec_p / V5E_F32_MATMUL_PEAK, 3),
+            # utilization of the bf16x3-path attainable peak (counted FLOPs);
+            # raw bf16 MXU FLOPs executed = 3x counted on this path
+            mxu_utilization=round(mxu_flops / sec_p / BF16X3_COUNTED_PEAK, 3),
+            mxu_bf16_tflops=round(3 * mxu_flops / sec_p / 1e12, 2),
         )
     else:
         fps_x, sec_x = timed_solver(cfg, geom, images, 2, 2, 8)

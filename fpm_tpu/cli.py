@@ -232,6 +232,9 @@ def _cmd_run(args) -> int:
         os.makedirs(os.path.join(args.output, "debug"), exist_ok=True)
 
     result = None
+    if args.use_pallas and args.dft_precision == "bf16x3":
+        print("[fpm-tpu] pallas DFT precision: bf16x3 (~1e-6 rel err; "
+              "--dft-precision highest for exact f32)")
     with phase("solve", logger):
         solver_kwargs = dict(mode=args.mode, global_max=args.global_max)
         if args.mesh:
@@ -273,7 +276,8 @@ def _cmd_run(args) -> int:
                                  base + "_objF")
                 save_complex_img(np.fft.fftshift(result.pupil), SHOW_COMPLEX_MAG,
                                  base + "_pupil")
-            if args.checkpoint_every > 0 and done < total:
+            if (args.checkpoint_every > 0 and done < total
+                    and done % args.checkpoint_every == 0):
                 save_checkpoint(
                     os.path.join(args.output, f"ckpt_{done}.npz"),
                     result.obj_f_centered, result.pupil, done,

@@ -66,6 +66,16 @@ class EPRYOptions:
     n_large: int = 0
     dtype: str = "complex64"          # on-device complex dtype
 
+    def __post_init__(self):
+        if self.mode not in ("sequential", "batched"):
+            raise ValueError(f"mode must be 'sequential' or 'batched', got {self.mode!r}")
+        if self.global_max not in ("exact", "lazy"):
+            raise ValueError(f"global_max must be 'exact' or 'lazy', got {self.global_max!r}")
+        if self.dft_precision not in ("bf16x3", "highest"):
+            raise ValueError(
+                f"dft_precision must be 'bf16x3' or 'highest', got {self.dft_precision!r}"
+            )
+
     @classmethod
     def from_config(cls, cfg: FPMConfig, **overrides) -> "EPRYOptions":
         kwargs = dict(

@@ -248,6 +248,10 @@ def fused_epry_sweep(
     matches to f32 round-off, the default ``'bf16x3'`` to ~1e-6 relative —
     see :func:`_dot3` — at ~1.3× the sweep throughput).
     """
+    if dft_precision not in ("bf16x3", "highest"):
+        raise ValueError(
+            f"dft_precision must be 'bf16x3' or 'highest', got {dft_precision!r}"
+        )
     k = amps.shape[0]
     n = np_size
     win = _round_up(n + 8, 8)
