@@ -63,6 +63,8 @@ class EPRYOptions:
     collect_metrics: bool = True
     use_pallas: bool = False          # route fused element-wise math via Pallas
     dft_precision: str = "bf16x3"     # Pallas DFT matmuls: "bf16x3" | "highest"
+    pupil_radius: int = 0             # NA-disk radius px; enables the exact
+    #                                   pupil-support bbox in the Pallas kernel
     n_large: int = 0
     dtype: str = "complex64"          # on-device complex dtype
 
@@ -78,6 +80,8 @@ class EPRYOptions:
 
     @classmethod
     def from_config(cls, cfg: FPMConfig, **overrides) -> "EPRYOptions":
+        from ..geometry import pupil_radius
+
         kwargs = dict(
             np_size=cfg.np_size,
             iterations=cfg.iterations,
@@ -86,6 +90,7 @@ class EPRYOptions:
             eps=cfg.eps,
             n_large=cfg.n_large,
             dtype=cfg.dtype,
+            pupil_radius=pupil_radius(cfg),
         )
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -243,8 +248,10 @@ def sweep_sequential(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
 def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     """Sequential sweep routed through the fused Pallas mega-kernel.
 
-    Equivalent to :func:`sweep_sequential` with ``global_max='exact'``
-    (fpm_tpu/ops/pallas_kernels.py); metrics are not collected in-kernel.
+    Equivalent to :func:`sweep_sequential` with the matching ``global_max``
+    mode (fpm_tpu/ops/pallas_kernels.py); metrics are not collected
+    in-kernel. ``opts.pupil_radius`` enables the exact pupil-support bbox
+    restriction inside the kernel.
     """
     import jax as _jax
 
@@ -260,6 +267,8 @@ def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
         delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
         interpret=_jax.default_backend() != "tpu",
         dft_precision=opts.dft_precision,
+        pupil_radius=opts.pupil_radius,
+        global_max=opts.global_max,
     )
     obj_f = (o_out[0] + 1j * o_out[1]).astype(obj_f.dtype)
     pupil = (p_out[0] + 1j * p_out[1]).astype(pupil.dtype)

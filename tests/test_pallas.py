@@ -38,6 +38,45 @@ def test_pallas_convergence(ds):
     assert rmse < 0.08
 
 
+def test_pallas_support_bbox_matches_sequential():
+    """np_size=64 → pupil bbox (48, 8) < patch: exercises the bbox-restricted
+    kernel path (reads/writes/FFT stages at b < Np), which must stay
+    bit-equivalent to the full sweep since the pupil is exactly zero
+    outside its NA-disk support."""
+    from fpm_tpu.geometry import pupil_radius
+    from fpm_tpu.ops.pallas_kernels import _support_bbox
+
+    ds = synthetic_dataset(np_size=64, grid=5, seed=3)
+    b, lo = _support_bbox(ds.cfg.np_size, pupil_radius(ds.cfg))
+    assert b < ds.cfg.np_size  # the point of this test
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=2, dtype="complex64",
+                      collect_metrics=False)
+    got = reconstruct(ds.images, ds.geom, ds.cfg, iterations=2, dtype="complex64",
+                      use_pallas=True, dft_precision="highest")
+    rel_o = np.abs(got.obj_f_centered - ref.obj_f_centered).max() / (
+        np.abs(ref.obj_f_centered).max()
+    )
+    rel_p = np.abs(got.pupil - ref.pupil).max() / np.abs(ref.pupil).max()
+    assert rel_o < 1e-5
+    assert rel_p < 1e-4
+    # outside the support the recovered pupil must be exactly zero
+    sup = np.fft.ifftshift(
+        np.pad(np.ones((b, b)), ((lo, 64 - lo - b), (lo, 64 - lo - b)))
+    )
+    assert np.abs(got.pupil[sup == 0]).max() == 0.0
+
+
+def test_pallas_lazy_global_max_matches_xla_lazy(ds):
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=2, dtype="complex64",
+                      global_max="lazy", collect_metrics=False)
+    got = reconstruct(ds.images, ds.geom, ds.cfg, iterations=2, dtype="complex64",
+                      use_pallas=True, global_max="lazy", dft_precision="highest")
+    rel_o = np.abs(got.obj_f_centered - ref.obj_f_centered).max() / (
+        np.abs(ref.obj_f_centered).max()
+    )
+    assert rel_o < 1e-5
+
+
 def test_pallas_rejects_batched(ds):
     with pytest.raises(ValueError, match="sequential"):
         reconstruct(ds.images, ds.geom, ds.cfg, iterations=1, dtype="complex64",
