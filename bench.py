@@ -132,6 +132,14 @@ def main():
         fps_xla = fps
     base = bench_oracle(cfg, geom, images)
 
+    # Roofline fields (same conventions as benchmarks/suite.py): counted
+    # FLOPs = the full-patch matmul-DFT count 32·Np³ per LED; the bf16x3
+    # path executes 3 bf16 FLOPs per counted FLOP, so its attainable peak
+    # for counted FLOPs is v5e bf16 peak / 3.
+    flops_per_iter = 32 * cfg.np_size**3 * int(geom.num_leds)
+    tflops = flops_per_iter / sec_per_iter / 1e12
+    mfu = tflops * 1e12 / (197e12 / 3) if on_tpu else 0.0
+
     print(
         json.dumps(
             {
@@ -145,6 +153,8 @@ def main():
                 "num_leds": int(geom.num_leds),
                 "np_size": cfg.np_size,
                 "n_large": cfg.n_large,
+                "matmul_dft_tflops": round(tflops, 2),
+                "mxu_utilization_bf16x3_peak": round(mfu, 3),
                 "mode": "sequential(fused-pallas, bf16x3-dft)" if on_tpu else "sequential(exact)",
                 "backend": jax.default_backend(),
             }

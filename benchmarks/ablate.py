@@ -12,6 +12,10 @@ delta vs the full kernel — the cost attribution that drives optimization:
 * ``no-window-read``   — read the patch from a static corner instead of the
                          dynamic roll-aligned window
 * ``no-window-write``  — skip the object-update scatter-add window write
+* ``dft-1pass``        — run each DFT block matmul as a single bf16 pass
+                         with plain casts (garbage numerics): isolates the
+                         extra split passes from the fixed per-matmul chain
+                         latency
 
 Timing is differential over the LED count (t(K_hi) − t(K_lo)) / (K_hi − K_lo)
 so per-sweep wrapper costs (pupil frame rolls, spectrum pad) cancel; sync is
@@ -33,7 +37,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ["", "omax-const", "no-dft", "no-window-read", "no-window-write"]
+VARIANTS = ["", "omax-const", "no-dft", "no-window-read", "no-window-write",
+            "dft-1pass"]
 
 
 def setup():

@@ -24,13 +24,32 @@ host↔device round trip (fpmMain.cpp:348-476). Here the *entire sweep* is one
   (fpmMain.cpp:304-310), and by induction it stays exactly zero outside its
   support (the EPRY increment is masked by the support, fpmMain.cpp:471, and
   the init is the disk itself). Everything downstream of the pupil multiply
-  is therefore exactly zero outside the disk's static 8-aligned bounding box
-  ``[lo, lo+b)²``: the IFFT contracts over only the bbox rows/cols, the
-  forward FFT produces only the bbox output rows/cols, the window read/write
-  and the whole pupil update shrink from Np² to b² — **bit-exact** semantics
-  at a fraction of the MXU padding waste and VPU window traffic. (A
+  is therefore exactly zero outside the disk's static bounding box
+  ``[lo, lo+b)²`` (b 8-aligned; lo need not be aligned — dynamic-window
+  reads absorb any offset): the IFFT contracts over only the bbox rows/cols,
+  the forward FFT produces only the bbox output rows/cols, the window
+  read/write and the whole pupil update shrink from Np² to b² — **bit-exact**
+  semantics at a fraction of the MXU padding waste and VPU window traffic.
+  For the mono configs (Np=90, NA radius 30) the unaligned-lo box is b=64,
+  so the *stacked* contraction below hits 128 lanes exactly. (A
   user-supplied resume state with pupil energy outside the NA disk — a state
   the solver itself can never produce — is cropped to the disk.)
+* **Block-complex (stacked) DFT matmuls**: a complex matmul is one real
+  matmul on the block form ``[[Re, −Im], [Im, Re]]``. The four per-LED
+  complex DFT products (IFFT rows/cols, FFT rows/cols) each lower to ONE
+  real MXU matmul against a host-precomputed static block matrix, with the
+  dynamic operand's (re, im) planes concatenated along the contraction dim:
+
+    ifft rows:  [[Ar, −Ai], [Ai, Ar]] (2Np', 2b) @ [zr; zi]   (2b, b)
+    ifft cols:  [tr | ti] (Np', 2b) @ [[Br, Bi], [−Bi, Br]]   (2b, 2Nl)
+    fft rows:   [[Ar',−Ai'], [Ai',Ar']] (2b, 2Np') @ [yr; yi] (2Np', Nl)
+    fft cols:   [ur | uu] (b, 2Nl) @ [[Br',Bi'], [−Bi',Br']]  (2Nl, 2Bl)
+
+  (Np' = Np 8-padded, Nl = Np 128-padded, Bl = b 128-padded; all block
+  offsets land on sublane/lane tile boundaries except the one (Np', 2b)
+  lane concat.) vs. 16 separate real matmuls this halves the padded MXU
+  tile work and quarters the dispatch count; the products and their f32
+  accumulation are bitwise the sums of the unstacked form.
 * Dynamic patch windows: Mosaic needs 8-aligned sublane offsets and
   128-aligned lane offsets, so reads slice an aligned (win, lane_blk)
   block and rotate the residual (row, lane) offset in with dynamic
@@ -42,9 +61,9 @@ host↔device round trip (fpmMain.cpp:348-476). Here the *entire sweep* is one
   exact semantics at ~1/3 the reduction traffic. ``global_max='lazy'``
   instead freezes max|O| at its sweep-start value (the same documented
   deviation as the XLA path's lazy mode).
-* bf16x3 DFT matmuls: the static DFT matrices are pre-split into bf16
+* bf16x3 DFT matmuls: the static block matrices are pre-split into bf16
   (hi, lo) pairs on the host; only the dynamic operands are split in-kernel,
-  once per complex matmul.
+  once per matmul.
 
 The pupil lives in the centered frame inside the kernel; the wrapper
 converts from/to the solver's DC-at-corner convention.
@@ -69,33 +88,46 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _support_bbox(n: int, radius: int) -> tuple[int, int]:
-    """(b, lo): 8-aligned bounding box of the centered NA disk, or (n, 0).
+    """(b, lo): bounding box of the centered NA disk; b 8-aligned, lo free.
 
     The disk is ``dist² <= radius²`` around ``c = round(n/2)``
     (geometry.pupil_support), i.e. rows/cols [c-radius, c+radius] inclusive.
-    ``radius <= 0`` disables the restriction (full patch).
+    ``lo`` is NOT alignment-rounded (the kernel's dynamic windows absorb any
+    offset); only the box size is 8-padded, which keeps b minimal — for the
+    mono configs (n=90, radius=30) b=64, so the stacked DFT contraction of
+    2b lands exactly on 128 MXU lanes. ``radius <= 0`` (restriction
+    disabled) degenerates to the full 8-padded patch at lo=0; ``lo + b`` may
+    then exceed ``n`` — the wrapper zero-pads the pupil/support crops, which
+    keeps the out-of-patch rows exactly zero through every update.
     """
     if radius <= 0:
-        return n, 0
+        return _round_up(n, 8), 0
     c = round(n / 2)
-    lo = max(0, ((c - radius) // 8) * 8)
-    hi = min(n, _round_up(c + radius + 1, 8))
-    b = hi - lo
-    if b >= n or b <= 0:
-        return n, 0
+    b = _round_up(2 * radius + 1, 8)
+    if b >= n:
+        return _round_up(n, 8), 0
+    lo = c - radius
     return b, lo
 
 
-# Pre-split the static DFT matrices into bf16 (hi, lo) on the host instead
-# of splitting them in-kernel every LED. Measured SLOWER on v5e (~+100 ns/LED
-# on mono): Mosaic feeds the MXU faster from f32 VMEM operands it splits
-# itself than from pre-split bf16 arrays. Kept toggleable for re-measurement.
-_PRESPLIT_STATIC_MATS = False
+# Pre-split the static DFT block matrices into bf16 (hi, lo) pairs on the
+# host instead of splitting them in-kernel every LED. With the stacked block
+# form the statics are ~4× the element count of the old per-plane matrices,
+# so host pre-splitting is the default; flip to re-measure (measured ±8 ns
+# on mono — noise).
+_PRESPLIT_STATIC_MATS = True
+
+# Lay the R_inv contraction blocks at 128-lane offsets so the kernel's one
+# unaligned lane concat (ts, offset b) becomes an aligned pad+concat, at the
+# price of a 2× contraction dim on the ifft-cols matmul. Measurement knob.
+_TS_ALIGN_128 = False
 
 
 @functools.lru_cache(maxsize=16)
-def _sel_dft_mats(n: int, b: int, lo: int, dft_precision: str):
-    """Host-precomputed DFT matrices: fftshifts folded in, bbox-selected.
+def _block_dft_mats(n: int, b: int, lo: int, dft_precision: str):
+    """Host-precomputed static DFT *block* matrices: fftshifts folded in,
+    bbox-selected, complex structure expanded to ``[[Re, −Im], [Im, Re]]``
+    real blocks at tile-aligned offsets.
 
     For even n the half-roll permutation S satisfies S = Sᵀ = S⁻¹, so
       fftshift(fft2(y))     = (S·F) y (F·S)      — forward, centered output
@@ -105,28 +137,65 @@ def _sel_dft_mats(n: int, b: int, lo: int, dft_precision: str):
     FFT emits only the bbox rows/cols of its output:
       Ai = (F⁻¹S)[:, sel] (n, b)    Bi = (SF⁻¹)[sel, :] (b, n)
       Af = (SF)[sel, :]   (b, n)    Bf = (FS)[:, sel]   (n, b)
-    Returned as float32 (real, imag) plane pairs for ``'highest'``, or as
-    pre-split bf16 (real_hi, real_lo, imag_hi, imag_lo) quads for
-    ``'bf16x3'`` (splitting the static matrices in-kernel would waste VPU
-    cycles every LED).
+    Block layouts (np8 = roundup(n,8), nl = roundup(n,128),
+    bl = roundup(b,128); row blocks at sublane-aligned offsets, col blocks
+    at lane-aligned offsets, zero-padded):
+      L_inv (2·np8, 2b):  [[Ai.re, −Ai.im], [Ai.im, Ai.re]]
+      R_inv (2b, 2·nl):   [[Bi.re,  Bi.im], [−Bi.im, Bi.re]]
+      L_fwd (2b, 2·np8):  [[Af.re, −Af.im], [Af.im, Af.re]]
+      R_fwd (2·nl, 2·bl): [[Bf.re,  Bf.im], [−Bf.im, Bf.re]]
+    Returned in that order as float32 arrays for ``'highest'`` or bf16
+    (hi, lo) pairs for ``'bf16x3'`` (when pre-splitting is on).
     """
+    np8 = _round_up(n, 8)
+    nl = _round_up(n, 128)
+    bl = _round_up(b, 128)
     h = n // 2
     fwd = _dft_matrix_np(n, False, "complex64")
     inv = _dft_matrix_np(n, True, "complex64")
-    ai = np.roll(inv, -h, axis=1)[:, lo:lo + b]   # (F⁻¹ S)[:, sel]
-    bi = np.roll(inv, -h, axis=0)[lo:lo + b, :]   # (S F⁻¹)[sel, :]
-    af = np.roll(fwd, -h, axis=0)[lo:lo + b, :]   # (S F)[sel, :]
-    bf = np.roll(fwd, -h, axis=1)[:, lo:lo + b]   # (F S)[:, sel]
+    bsel = min(b, n - lo)  # valid bbox extent inside the patch
+    ai = np.roll(inv, -h, axis=1)[:, lo:lo + bsel]   # (n, bsel)
+    bi = np.roll(inv, -h, axis=0)[lo:lo + bsel, :]   # (bsel, n)
+    af = np.roll(fwd, -h, axis=0)[lo:lo + bsel, :]   # (bsel, n)
+    bf = np.roll(fwd, -h, axis=1)[:, lo:lo + bsel]   # (n, bsel)
+
+    def block(m, rows, cols, r_off, c_off):
+        """[[m.re, −m.im], [m.im, m.re]] blocks at (r_off, c_off) offsets."""
+        out = np.zeros((2 * rows, 2 * cols), np.float32)
+        r, c = m.shape
+        out[0:r, 0:c] = m.real
+        out[0:r, c_off:c_off + c] = -m.imag
+        out[r_off:r_off + r, 0:c] = m.imag
+        out[r_off:r_off + r, c_off:c_off + c] = m.real
+        return out
+
+    # R-side blocks carry [[Re, Im], [−Im, Re]] (the transpose convention
+    # for a right-multiplied static): conj the matrix then negate... simpler
+    # to build directly from ±imag.
+    def block_r(m, rows, cols, r_off, c_off):
+        out = np.zeros((2 * rows, 2 * cols), np.float32)
+        r, c = m.shape
+        out[0:r, 0:c] = m.real
+        out[0:r, c_off:c_off + c] = m.imag
+        out[r_off:r_off + r, 0:c] = -m.imag
+        out[r_off:r_off + r, c_off:c_off + c] = m.real
+        return out
+
+    b_ri = bl if _TS_ALIGN_128 else b
+    mats = (
+        block(ai, np8, b, np8, b),      # L_inv (2·np8, 2b)
+        block_r(bi, b_ri, nl, b_ri, nl),  # R_inv (2·b_ri, 2·nl)
+        block(af, b, np8, b, np8),      # L_fwd (2b, 2·np8)
+        block_r(bf, nl, bl, nl, bl),    # R_fwd (2·nl, 2·bl)
+    )
     out = []
-    for m in (ai, bi, af, bf):
-        for plane in (m.real, m.imag):
-            plane = np.ascontiguousarray(plane, np.float32)
-            if dft_precision == "bf16x3" and _PRESPLIT_STATIC_MATS:
-                hi_p = plane.astype(ml_dtypes.bfloat16)
-                lo_p = (plane - hi_p.astype(np.float32)).astype(ml_dtypes.bfloat16)
-                out += [hi_p, lo_p]
-            else:
-                out.append(plane)
+    for m in mats:
+        if dft_precision == "bf16x3" and _PRESPLIT_STATIC_MATS:
+            hi_p = m.astype(ml_dtypes.bfloat16)
+            lo_p = (m - hi_p.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            out += [hi_p, lo_p]
+        else:
+            out.append(m)
     return tuple(out)
 
 
@@ -148,9 +217,10 @@ def _dot_exact(a, b):
     )
 
 
-def _cmat_fns(dft_precision: str):
-    """Complex-matmul helpers for a static-left (A @ z) and static-right
-    (t @ B) stage, with the static matrices pre-split for bf16x3.
+def _mm_fns(dft_precision: str, ablate: str = ""):
+    """(mm_left, mm_right, mats_per): one real block matmul per complex DFT
+    product — static side pre-split on the host for bf16x3, dynamic side
+    split in-kernel once per matmul.
 
     TPU matmul precision tiers: single-pass bf16 (DEFAULT) has ~1e-2
     relative error — far too coarse for the DFT inside an iterative
@@ -162,50 +232,45 @@ def _cmat_fns(dft_precision: str):
     (Mosaic has no Precision.HIGH; the Gauss 3-multiplication trick was
     also measured: no faster, 7× worse error.)
     """
-    if dft_precision == "bf16x3":
+    if ablate == "dft-1pass":
+        # Single-pass bf16 (garbage numerics): isolates the MXU pass count
+        # and the dynamic-split VPU cost from the fixed per-matmul overhead.
+        def mm_left(ms, x):
+            return _dot_bf16(ms[0][...].astype(jnp.bfloat16), x.astype(jnp.bfloat16))
 
-        def d3(ah, al, bh, bl):
-            return _dot_bf16(ah, bh) + _dot_bf16(ah, bl) + _dot_bf16(al, bh)
+        def mm_right(x, ms):
+            return _dot_bf16(x.astype(jnp.bfloat16), ms[0][...].astype(jnp.bfloat16))
+
+        return mm_left, mm_right, 2 if (
+            dft_precision == "bf16x3" and _PRESPLIT_STATIC_MATS
+        ) else 1
+
+    if dft_precision == "bf16x3":
 
         def load_split(ms):
             if _PRESPLIT_STATIC_MATS:
-                return tuple(m[...] for m in ms)
-            mr, mi = ms[0][...], ms[1][...]
-            mrh, mrl = _bf16_split(mr)
-            mih, mil = _bf16_split(mi)
-            return mrh, mrl, mih, mil
+                return ms[0][...], ms[1][...]
+            return _bf16_split(ms[0][...])
 
-        def cmat_left(ms, zr, zi):
-            mrh, mrl, mih, mil = load_split(ms)
-            zrh, zrl = _bf16_split(zr)
-            zih, zil = _bf16_split(zi)
-            rr = d3(mrh, mrl, zrh, zrl) - d3(mih, mil, zih, zil)
-            ri = d3(mrh, mrl, zih, zil) + d3(mih, mil, zrh, zrl)
-            return rr, ri
+        def mm_left(ms, x):      # static @ dynamic
+            mh, ml = load_split(ms)
+            xh, xl = _bf16_split(x)
+            return _dot_bf16(mh, xh) + _dot_bf16(mh, xl) + _dot_bf16(ml, xh)
 
-        def cmat_right(tr, ti, ms):
-            mrh, mrl, mih, mil = load_split(ms)
-            trh, trl = _bf16_split(tr)
-            tih, til = _bf16_split(ti)
-            rr = d3(trh, trl, mrh, mrl) - d3(tih, til, mih, mil)
-            ri = d3(trh, trl, mih, mil) + d3(tih, til, mrh, mrl)
-            return rr, ri
+        def mm_right(x, ms):     # dynamic @ static
+            mh, ml = load_split(ms)
+            xh, xl = _bf16_split(x)
+            return _dot_bf16(xh, mh) + _dot_bf16(xl, mh) + _dot_bf16(xh, ml)
 
-        return cmat_left, cmat_right, 4 if _PRESPLIT_STATIC_MATS else 2
+        return mm_left, mm_right, 2 if _PRESPLIT_STATIC_MATS else 1
 
-    def cmat_left(ms, zr, zi):
-        mr, mi = ms[0][...], ms[1][...]
-        rr = _dot_exact(mr, zr) - _dot_exact(mi, zi)
-        ri = _dot_exact(mr, zi) + _dot_exact(mi, zr)
-        return rr, ri
+    def mm_left(ms, x):
+        return _dot_exact(ms[0][...], x)
 
-    def cmat_right(tr, ti, ms):
-        mr, mi = ms[0][...], ms[1][...]
-        rr = _dot_exact(tr, mr) - _dot_exact(ti, mi)
-        ri = _dot_exact(tr, mi) + _dot_exact(ti, mr)
-        return rr, ri
+    def mm_right(x, ms):
+        return _dot_exact(x, ms[0][...])
 
-    return cmat_left, cmat_right, 2
+    return mm_left, mm_right, 1
 
 
 def _fold_lanes_max(t):
@@ -235,13 +300,42 @@ def _read_window(o_ref, plane, ys0, dy, xs0, dx, b, win, lane_blk):
     return blk[0:b, 0:b]
 
 
+# Window-write lane alignment: 'roll' (default) uses a dynamic pltpu.roll;
+# 'mxu' shifts the delta into lane position by an exact one-hot matmul
+# (3-term bf16 split — bitwise f32, since each term's products are exact and
+# the f32 accumulation reconstructs the mantissa). Measured on v5e (mono):
+# mxu is ~150 ns/LED SLOWER — the write stage is bound by the serialized
+# read-modify-write of the spectrum window, not by the lane rotate.
+_WINDOW_WRITE_IMPL = "roll"
+
+
+def _bf16_split3(x):
+    """f32 → (h1, h2, h3) bf16 triple with h1 + h2 + h3 == x exactly
+    (24-bit mantissa = 3 × 8-bit bf16 chunks; every residual is exactly
+    representable, so the f32 sum reconstructs x bitwise)."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - h2.astype(jnp.float32)
+    return h1, h2, r2.astype(jnp.bfloat16)
+
+
 def _window_add(o_ref, ys0, dy, xs0, dx, do_r, do_i, b, win, lane_blk):
     """Add the (b, b) deltas into both planes at offset (ys0+dy, xs0+dx)."""
     rows = pl.ds(pl.multiple_of(ys0, 8), win)
     cols = pl.ds(pl.multiple_of(xs0, 128), lane_blk)
+    if _WINDOW_WRITE_IMPL == "mxu":
+        # One-hot lane-shift matrix C[j, l] = (l == j + dx), exact in bf16.
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (b, lane_blk), 0)
+        l_ids = jax.lax.broadcasted_iota(jnp.int32, (b, lane_blk), 1)
+        shift = (l_ids == r_ids + dx).astype(jnp.bfloat16)
     for plane, do in ((0, do_r), (1, do_i)):
-        blk = jnp.pad(do, ((0, win - b), (0, lane_blk - b)))
-        blk = pltpu.roll(pltpu.roll(blk, dy, 0), dx, 1)
+        if _WINDOW_WRITE_IMPL == "mxu":
+            blk = sum(_dot_bf16(h, shift) for h in _bf16_split3(do))
+            blk = pltpu.roll(jnp.pad(blk, ((0, win - b), (0, 0))), dy, 0)
+        else:
+            blk = jnp.pad(do, ((0, win - b), (0, lane_blk - b)))
+            blk = pltpu.roll(pltpu.roll(blk, dy, 0), dx, 1)
         o_ref[plane, rows, cols] = o_ref[plane, rows, cols] + blk
 
 
@@ -255,6 +349,9 @@ def _sweep_kernel(
     dft_precision: str, global_max: str, ablate: str,
 ):
     n, b, lo = np_size, bbox, bbox_lo
+    np8 = _round_up(n, 8)
+    nl = _round_up(n, 128)
+    bl = _round_up(b, 128)
     amp_ref, sup_ref = refs[0], refs[1]
     mats = refs[2:2 + n_mats]
     o_ref = refs[2 + n_mats + 2]   # aliased outputs (inputs at +0, +1)
@@ -262,8 +359,8 @@ def _sweep_kernel(
     rm_ref = refs[2 + n_mats + 4]
 
     k = pl.program_id(0)
-    cmat_left, cmat_right, per = _cmat_fns(dft_precision)
-    ms_ai, ms_bi, ms_af, ms_bf = (
+    mm_left, mm_right, per = _mm_fns(dft_precision, ablate)
+    ms_li, ms_ri, ms_lf, ms_rf = (
         mats[i * per:(i + 1) * per] for i in range(4)
     )
 
@@ -301,29 +398,46 @@ def _sweep_kernel(
     ocp_r = oc_r * p_r - oc_i * p_i
     ocp_i = oc_r * p_i + oc_i * p_r
 
-    # --- to image plane: IFFT∘ifftshift folded into the matrices, (b,b)→(n,n)
+    # --- to image plane: IFFT∘ifftshift folded into the block matrices,
+    #     (b,b)→(np8, nl) zero-padded planes
     if ablate == "no-dft":
-        img_r = jnp.pad(ocp_r, ((0, n - b), (0, n - b)))
-        img_i = jnp.pad(ocp_i, ((0, n - b), (0, n - b)))
+        img_r = jnp.pad(ocp_r, ((0, np8 - b), (0, nl - b)))
+        img_i = jnp.pad(ocp_i, ((0, np8 - b), (0, nl - b)))
     else:
-        tr, ti = cmat_left(ms_ai, ocp_r, ocp_i)        # (n, b)
-        img_r, img_i = cmat_right(tr, ti, ms_bi)       # (n, n)
+        zs = jnp.concatenate([ocp_r, ocp_i], axis=0)       # (2b, b)
+        t = mm_left(ms_li, zs)                             # (2·np8, b)
+        if _TS_ALIGN_128:
+            ts = jnp.concatenate(
+                [jnp.pad(t[0:np8], ((0, 0), (0, bl - b))), t[np8:]], axis=1
+            )                                              # (np8, bl + b)
+            ts = jnp.pad(ts, ((0, 0), (0, 2 * bl - bl - b)))
+        else:
+            ts = jnp.concatenate([t[0:np8], t[np8:]], axis=1)  # (np8, 2b)
+        img2 = mm_right(ts, ms_ri)                         # (np8, 2·nl)
+        img_r = img2[:, 0:nl]
+        img_i = img2[:, nl:]
 
     # --- amplitude replacement preserving phase (fpmMain.cpp:377-394);
     #     eps on the real part only, as the reference's scalar cv::add.
+    #     Zero-padded region: img = 0, amp = 0 → rep = 0 stays exact.
     amp = amp_ref[0]
     mag2 = (img_r + eps) ** 2 + img_i ** 2
     scale = amp * jax.lax.rsqrt(mag2)
     rep_r = img_r * scale
     rep_i = img_i * scale
 
-    # --- back to the centered Fourier frame, bbox rows/cols only: (n,n)→(b,b)
+    # --- back to the centered Fourier frame, bbox rows/cols only:
+    #     (np8, nl)→(b, b)
     if ablate == "no-dft":
         up_r = rep_r[0:b, 0:b]
         up_i = rep_i[0:b, 0:b]
     else:
-        tr2, ti2 = cmat_left(ms_af, rep_r, rep_i)      # (b, n)
-        up_r, up_i = cmat_right(tr2, ti2, ms_bf)       # (b, b)
+        zs3 = jnp.concatenate([rep_r, rep_i], axis=0)      # (2·np8, nl)
+        t2 = mm_left(ms_lf, zs3)                           # (2b, nl)
+        ts4 = jnp.concatenate([t2[0:b], t2[b:]], axis=1)   # (b, 2·nl)
+        up2 = mm_right(ts4, ms_rf)                         # (b, 2·bl)
+        up_r = up2[:, 0:b]
+        up_i = up2[:, bl:bl + b]
     d_r = up_r - ocp_r
     d_i = up_i - ocp_i
 
@@ -392,7 +506,7 @@ def fused_epry_sweep(
 
     Numerically equivalent to ``models.epry.sweep_sequential`` (validated in
     tests; ``dft_precision='highest'`` matches to f32 round-off, the default
-    ``'bf16x3'`` to ~1e-6 relative — see :func:`_cmat_fns` — at ~2× the MXU
+    ``'bf16x3'`` to ~1e-6 relative — see :func:`_mm_fns` — at ~2× the MXU
     throughput). ``pupil_radius`` (geometry.pupil_radius) enables the exact
     pupil-support bbox restriction; 0 disables it. ``global_max='lazy'``
     freezes max|O| at its sweep-start value (same deviation as the XLA
@@ -408,25 +522,40 @@ def fused_epry_sweep(
     k = amps.shape[0]
     n = np_size
     b, lo = _support_bbox(n, pupil_radius)
+    np8 = _round_up(n, 8)
+    nl = _round_up(n, 128)
     win = _round_up(b + 8, 8)
     lane_blk = _round_up(b, 128) + 128
-    # Static bounds: window starts satisfy ys, xs ∈ [lo, Nlarge - n + lo].
+    # Static bounds: window starts satisfy ys, xs ∈ [lo, Nlarge - n + lo],
+    # and the aligned (win, lane_blk) window may extend past them.
     max_off = n_large - n + lo
     lanes = max(_round_up(n_large, 128), (max_off // 128) * 128 + lane_blk)
     rows_pad = max(_round_up(n_large, 8), (max_off // 8) * 8 + win)
     f32 = jnp.float32
 
-    mats = [jnp.asarray(m) for m in _sel_dft_mats(n, b, lo, dft_precision)]
+    mats = [jnp.asarray(m) for m in _block_dft_mats(n, b, lo, dft_precision)]
     n_mats = len(mats)
 
-    # Kernel-side pupil/support live in the centered frame, bbox-cropped.
+    # Kernel-side pupil/support live in the centered frame, bbox-cropped;
+    # when lo + b spills past the patch (only without the NA restriction)
+    # the spill is zero-padded — those rows can never gain energy.
     half = n // 2
-    p_centered = jnp.roll(p_planes, (half, half), axis=(1, 2))[:, lo:lo + b, lo:lo + b]
-    sup_centered = jnp.roll(support, (half, half), axis=(0, 1))[lo:lo + b, lo:lo + b]
+    bsel = min(b, n - lo)
+    pad_b = ((0, 0), (0, b - bsel), (0, b - bsel))
+    p_centered = jnp.pad(
+        jnp.roll(p_planes, (half, half), axis=(1, 2))[:, lo:lo + bsel, lo:lo + bsel],
+        pad_b,
+    )
+    sup_centered = jnp.pad(
+        jnp.roll(support, (half, half), axis=(0, 1))[lo:lo + bsel, lo:lo + bsel],
+        pad_b[1:],
+    )
 
     o_padded = jnp.pad(
         o_planes, ((0, 0), (0, rows_pad - n_large), (0, lanes - n_large))
     )
+    # Amplitude frames zero-padded to the kernel's padded image-plane shape.
+    amps_p = jnp.pad(amps, ((0, 0), (0, np8 - n), (0, nl - n)))
 
     if global_max == "exact" and ablate != "omax-const":
         scratch = [pltpu.VMEM((rows_pad, 128), f32)]   # per-row lane-folded max|O|²
@@ -437,7 +566,7 @@ def fused_epry_sweep(
         num_scalar_prefetch=1,
         grid=(k,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda i, s: (i, 0, 0)),  # amps per-LED block
+            pl.BlockSpec((1, np8, nl), lambda i, s: (i, 0, 0)),  # amps per-LED
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_mats + 2),
         out_specs=(
@@ -462,11 +591,13 @@ def fused_epry_sweep(
         ),
         input_output_aliases={3 + n_mats: 0, 4 + n_mats: 1},  # o, p
         interpret=interpret,
-    )(starts_flat, amps, sup_centered, *mats, o_padded, p_centered)
+    )(starts_flat, amps_p, sup_centered, *mats, o_padded, p_centered)
 
     # Back to solver conventions: trim padding, un-crop the pupil bbox,
     # pupil to corner frame.
     p_full = jnp.zeros((2, n, n), f32)
-    p_full = jax.lax.dynamic_update_slice(p_full, p_out, (0, lo, lo))
+    p_full = jax.lax.dynamic_update_slice(
+        p_full, p_out[:, :bsel, :bsel], (0, lo, lo)
+    )
     p_corner = jnp.roll(p_full, (-half, -half), axis=(1, 2))
     return o_out[:, :n_large, :n_large], p_corner
