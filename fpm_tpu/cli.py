@@ -30,6 +30,15 @@ def _add_run_parser(sub):
     p.add_argument("-o", "--output", default="fpm_output")
     p.add_argument("--mode", choices=["sequential", "batched"], default="sequential")
     p.add_argument("--global-max", choices=["exact", "lazy"], default="exact")
+    p.add_argument("--chunk-size", type=int, default=32,
+                   help="batched mode: LEDs per Jacobi chunk (0 = whole "
+                        "sweep; unstable at realistic LED counts — see "
+                        "benchmarks/convergence.py)")
+    p.add_argument("--chunk-assign", choices=["strided", "contiguous"],
+                   default="strided",
+                   help="batched mode: chunk makeup over the NA-sorted "
+                        "schedule (strided spreads each chunk across the "
+                        "NA range — the measured stability condition)")
     p.add_argument("--dtype", default=None, help="complex64 (TPU) or complex128 (CPU)")
     p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
                    help="device selection (replaces use_cpu.sh/use_gpu.sh)")
@@ -236,7 +245,9 @@ def _cmd_run(args) -> int:
         print("[fpm-tpu] pallas DFT precision: bf16x3 (~1e-6 rel err; "
               "--dft-precision highest for exact f32)")
     with phase("solve", logger):
-        solver_kwargs = dict(mode=args.mode, global_max=args.global_max)
+        solver_kwargs = dict(mode=args.mode, global_max=args.global_max,
+                             chunk_size=args.chunk_size,
+                             chunk_assign=args.chunk_assign)
         if args.mesh:
             from .parallel import make_mesh, reconstruct_tile_sharded
 
@@ -311,6 +322,7 @@ def _run_large_fov(args, cfg, logger) -> int:
             dataset.images, dataset.geom, cfg,
             grid=(rows, cols), overlap=args.fov_overlap,
             mode=args.mode, global_max=args.global_max,
+            chunk_size=args.chunk_size, chunk_assign=args.chunk_assign,
             progress=lambda r, c, t: logger.log(
                 "tile", row=r, col=c,
                 data_residual=float(t.metrics["data_residual"][-1])),
@@ -342,7 +354,9 @@ def _run_rgb(args, cfg, logger) -> int:
             dataset = load_dataset(ch_cfg, use_native=False if args.no_native else None)
         with phase(f"solve[{name}]", logger):
             res = reconstruct(dataset.images, dataset.geom, ch_cfg,
-                              mode=args.mode, global_max=args.global_max)
+                              mode=args.mode, global_max=args.global_max,
+                              chunk_size=args.chunk_size,
+                              chunk_assign=args.chunk_assign)
         save_results(res, os.path.join(args.output, name), ch_cfg)
         amps.append(np.abs(res.obj_crop))
     rgb = np.stack(amps, axis=-1)

@@ -22,11 +22,25 @@ Two sweep modes:
 
 * ``sequential`` — bit-faithful Gauss–Seidel LED ordering; the accuracy/parity
   mode (validated against :mod:`fpm_tpu.oracle`).
-* ``batched`` — epoch-synchronous (Jacobi-style) sweep: all LED updates are
-  computed from the sweep-start state and summed. Changes convergence
-  slightly (documented; RMSE impact tested) but exposes the LED axis for
-  vmap/shard_map parallelism (SURVEY.md N1) — the reference's loop is
-  unparallelizable because each LED mutates shared state (fpmMain.cpp:348).
+* ``batched`` — chunked Gauss–Seidel-over-Jacobi sweep: the NA-sorted
+  schedule is split into ``ceil(K / chunk_size)`` chunks processed
+  sequentially; *within* a chunk every LED update is computed from the
+  chunk-start state and summed (Jacobi). The chunk axis is what shards over
+  devices (SURVEY.md N1) — the reference's loop is unparallelizable because
+  each LED mutates shared state (fpmMain.cpp:348). Measured convergence
+  (benchmarks/convergence.py, mono dome problems, aberrated pupil):
+
+  - whole-sweep Jacobi (``chunk_size=0``) **diverges/oscillates at the
+    reference's realistic LED counts** (K=193: RMSE stuck ~0.10 vs
+    sequential 0.014; overlap-normalized and down-scaled variants stagnate);
+  - contiguous chunks are stable only up to ~12 LEDs/chunk (NA-adjacent
+    LEDs overlap maximally in k-space);
+  - ``chunk_assign='strided'`` (chunk c takes LEDs {c, c+n_chunks, ...} of
+    the NA-sorted schedule, spreading each chunk across the NA range) is
+    stable up to chunk_size=96 at K=193–506 and matches or beats sequential
+    RMSE within ~2 extra sweeps. Stability needs the stride (= n_chunks) to
+    stay ≥ 4: chunk_size=128 at K=193 (stride 2) oscillates. Recommended:
+    ``chunk_size=32`` strided (convergence) up to 96 (throughput).
 
 The per-LED global ``max|O|`` pupil-update denominator (fpmMain.cpp:467) is a
 full-spectrum reduction; ``global_max='exact'`` reproduces it, ``'lazy'``
@@ -60,6 +74,9 @@ class EPRYOptions:
     mode: str = "sequential"          # "sequential" | "batched"
     global_max: str = "exact"         # "exact" | "lazy"
     pupil_step_scale: float = 1.0     # batched-mode pupil update scaling
+    chunk_size: int = 0               # batched mode: LEDs per Jacobi chunk
+    #                                   (0 = whole sweep — unstable at K≳100)
+    chunk_assign: str = "strided"     # "strided" | "contiguous" chunk makeup
     collect_metrics: bool = True
     use_pallas: bool = False          # route fused element-wise math via Pallas
     dft_precision: str = "bf16x3"     # Pallas DFT matmuls: "bf16x3" | "highest"
@@ -77,6 +94,12 @@ class EPRYOptions:
             raise ValueError(
                 f"dft_precision must be 'bf16x3' or 'highest', got {self.dft_precision!r}"
             )
+        if self.chunk_assign not in ("strided", "contiguous"):
+            raise ValueError(
+                f"chunk_assign must be 'strided' or 'contiguous', got {self.chunk_assign!r}"
+            )
+        if self.chunk_size < 0:
+            raise ValueError(f"chunk_size must be >= 0, got {self.chunk_size}")
 
     @classmethod
     def from_config(cls, cfg: FPMConfig, **overrides) -> "EPRYOptions":
@@ -275,15 +298,38 @@ def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     return obj_f, pupil, jnp.zeros((2,), dtype=amps.dtype)
 
 
-def sweep_batched(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
-    """One epoch-synchronous (Jacobi) sweep: all LEDs from the same state.
+def chunk_schedule(k: int, chunk_size: int, assign: str) -> tuple[np.ndarray, np.ndarray, int]:
+    """Static chunking of a K-LED schedule: (perm, mask, n_chunks).
 
-    All per-LED quantities are computed batched (one MXU-batched FFT over the
-    LED axis), the object-spectrum increments are accumulated with a cheap
-    paste scan, and the pupil increments are summed. This is the sweep that
-    shards over the LED mesh axis (SURVEY.md N1).
+    ``perm`` (n_chunks·C,) indexes into the padded NA-sorted schedule
+    (indices ≥ k address masked dummy frames); ``mask`` is 1.0 for real
+    LEDs. ``assign='strided'`` gives chunk c the LEDs {c, c+n_chunks, ...}
+    so each chunk spans the NA range (minimal within-chunk sub-aperture
+    overlap — the measured stability condition, see module docstring);
+    ``'contiguous'`` keeps consecutive NA-sorted runs.
+    """
+    c = chunk_size if chunk_size > 0 else k
+    n_chunks = -(-k // c)
+    total = n_chunks * c
+    if assign == "strided" and n_chunks > 1:
+        perm = np.arange(total).reshape(c, n_chunks).T.ravel()
+    else:
+        perm = np.arange(total)
+    mask = (perm < k).astype(np.float32)
+    return perm, mask, n_chunks
+
+
+def jacobi_chunk(obj_f, pupil, amps, starts, mask, *, support, opts: EPRYOptions):
+    """One Jacobi chunk: every LED update from the chunk-start state.
+
+    All per-LED quantities are computed batched (one MXU-batched FFT over
+    the LED axis), the object-spectrum increments are accumulated with a
+    cheap paste scan, and the pupil increments are summed. ``mask`` zeroes
+    padded dummy frames. This is the unit that shards over the LED mesh
+    axis (SURVEY.md N1).
     """
     np_sz = opts.np_size
+    m = mask[:, None, None]
 
     patches = jax.vmap(lambda s: crop_patch(obj_f, s, np_sz))(starts)
     objf_crop = fftshift2d(patches)
@@ -292,7 +338,7 @@ def sweep_batched(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     objf_up = fft2(_amp_replace(obj_crop_p, amps, opts.eps))
     diff = objf_up - objf_crop_p
 
-    d_obj = _object_delta(diff, pupil, opts.delta2)
+    d_obj = _object_delta(diff, pupil, opts.delta2) * m
     d_obj = fftshift2d(d_obj)
 
     def paste(acc, inp):
@@ -303,12 +349,45 @@ def sweep_batched(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     obj_f = obj_f + d_obj_full
 
     omax = jnp.max(jnp.abs(obj_f))
-    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1)
+    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1) * m
     pupil = pupil + opts.pupil_step_scale * jnp.sum(d_pupil, axis=0)
 
-    resid = jnp.sum((amps - jnp.abs(obj_crop_p)) ** 2)
+    resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
     upd = jnp.sum(jnp.abs(d_obj) ** 2)
     return obj_f, pupil, jnp.stack([resid, upd])
+
+
+def sweep_batched(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions,
+                  mask=None):
+    """One chunked Gauss–Seidel-over-Jacobi sweep (see module docstring).
+
+    ``amps``/``starts``/``mask`` are either flat (K, ...) arrays — chunked
+    here per ``opts`` — or pre-chunked (n_chunks, C, ...) arrays (the
+    caller hoisted the static permutation out of the iteration loop).
+    """
+    if amps.ndim == 3:  # flat: apply the static chunk permutation in-line
+        k = amps.shape[0]
+        perm, mask_np, n_chunks = chunk_schedule(k, opts.chunk_size, opts.chunk_assign)
+        pad = perm.size - k
+        if pad:
+            amps = jnp.concatenate([amps, jnp.zeros((pad,) + amps.shape[1:], amps.dtype)])
+            starts = jnp.concatenate([starts, jnp.zeros((pad, 2), starts.dtype)])
+        c = perm.size // n_chunks
+        amps = amps[perm].reshape(n_chunks, c, *amps.shape[1:])
+        starts = starts[perm].reshape(n_chunks, c, 2)
+        mask = jnp.asarray(mask_np, jnp.abs(obj_f).dtype).reshape(n_chunks, c)
+    elif mask is None:
+        mask = jnp.ones(amps.shape[:2], jnp.abs(obj_f).dtype)
+
+    def body(carry, inp):
+        obj_f, pupil = carry
+        a, s, m2 = inp
+        obj_f, pupil, met = jacobi_chunk(obj_f, pupil, a, s, m2,
+                                         support=support, opts=opts)
+        return (obj_f, pupil), met
+
+    (obj_f, pupil), mets = jax.lax.scan(body, (obj_f, pupil), (amps, starts, mask))
+    return obj_f, pupil, mets.sum(axis=0)
 
 
 # --------------------------------------------------------------------- top level
@@ -344,12 +423,31 @@ def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, u
         if opts.mode != "sequential":
             raise ValueError("use_pallas supports the sequential mode only")
         sweep = sweep_pallas
+        mask = None
     else:
         sweep = sweep_sequential if opts.mode == "sequential" else sweep_batched
+        mask = None
+        if opts.mode == "batched":
+            # Hoist the static chunk permutation out of the iteration loop.
+            k = amps.shape[0]
+            perm, mask_np, n_chunks = chunk_schedule(k, opts.chunk_size, opts.chunk_assign)
+            pad = perm.size - k
+            a, s = amps, starts
+            if pad:
+                a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                s = jnp.concatenate([s, jnp.zeros((pad, 2), s.dtype)])
+            c = perm.size // n_chunks
+            amps_it = a[perm].reshape(n_chunks, c, *a.shape[1:])
+            starts_it = s[perm].reshape(n_chunks, c, 2)
+            mask = jnp.asarray(mask_np, support_r.dtype).reshape(n_chunks, c)
 
     def body(carry, _):
         obj_f, pupil = carry
-        obj_f, pupil, m = sweep(obj_f, pupil, amps, starts, support=support, opts=opts)
+        if opts.mode == "batched" and not opts.use_pallas:
+            obj_f, pupil, m = sweep(obj_f, pupil, amps_it, starts_it,
+                                    support=support, opts=opts, mask=mask)
+        else:
+            obj_f, pupil, m = sweep(obj_f, pupil, amps, starts, support=support, opts=opts)
         return (obj_f, pupil), m
 
     (obj_f, pupil), metrics = jax.lax.scan(

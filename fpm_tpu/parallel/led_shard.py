@@ -2,15 +2,19 @@
 
 The reference's per-LED loop is strictly sequential because every LED update
 mutates the shared spectrum and pupil (fpmMain.cpp:348-476). The scalable
-TPU formulation is the epoch-synchronous sweep (models.epry.sweep_batched):
-every LED's increment is computed from the sweep-start state, so the LED axis
-is embarrassingly parallel — shard it over the ``led`` mesh axis with
-``shard_map``, accumulate local object-spectrum increments into a full-size
-buffer, and reconcile with one ``psum`` per sweep for the object and one for
-the pupil consensus (the all-reduce rides ICI within a slice, DCN across
-hosts — SURVEY.md N3).
+TPU formulation is the *chunked* Gauss–Seidel-over-Jacobi sweep
+(models.epry.sweep_batched): the NA-sorted schedule is split into chunks
+processed sequentially; within a chunk every LED's increment is computed
+from the chunk-start state, so the within-chunk LED axis is embarrassingly
+parallel — shard it over the ``led`` mesh axis with ``shard_map``,
+accumulate local object-spectrum increments into a full-size buffer, and
+reconcile with one ``psum`` per chunk for the object and one for the pupil
+consensus (the all-reduce rides ICI within a slice, DCN across hosts —
+SURVEY.md N3). Whole-sweep Jacobi (``chunk_size=0``, one psum pair per
+sweep) is measurably unstable at the reference's LED counts — see
+models/epry.py's module docstring and benchmarks/convergence.py.
 
-LED counts rarely divide the mesh; the stack is padded with masked dummy
+Chunk sizes rarely divide the mesh; chunks are padded with masked dummy
 frames (mask zeroes their increments and metrics), keeping shapes static.
 """
 
@@ -32,17 +36,18 @@ from ..models.epry import (
     _object_delta,
     _pupil_delta,
     _sorted_device_inputs,
+    chunk_schedule,
     init_state,
 )
 from ..ops import crop_patch, fft2, fftshift2d, ifft2, ifftshift2d, paste_patch_add
 from .mesh import make_mesh
 
 
-def _sharded_sweep(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
-    """Per-device body of one epoch-synchronous sweep (runs under shard_map).
+def _sharded_chunk(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
+    """Per-device body of one Jacobi chunk (runs under shard_map).
 
-    ``amps``/``starts``/``mask`` hold this device's LED block; ``obj_f``,
-    ``pupil``, ``support`` are replicated.
+    ``amps``/``starts``/``mask`` hold this device's slice of the chunk;
+    ``obj_f``, ``pupil``, ``support`` are replicated.
     """
     np_sz = opts.np_size
     m = mask[:, None, None]
@@ -65,7 +70,7 @@ def _sharded_sweep(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptio
     # LED block); mark it so under shard_map's varying-axis typing.
     acc0 = jax.lax.pcast(jnp.zeros_like(obj_f), ("led",), to="varying")
     d_obj_full, _ = jax.lax.scan(paste, acc0, (d_obj, starts))
-    # Object consensus: one all-reduce per sweep over the LED axis (N3).
+    # Object consensus: one all-reduce per chunk over the LED axis (N3).
     d_obj_full = jax.lax.psum(d_obj_full, "led")
     obj_f = obj_f + d_obj_full
 
@@ -83,6 +88,23 @@ def _sharded_sweep(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptio
     return obj_f, pupil, jnp.stack([resid, upd])
 
 
+def _sharded_sweep(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
+    """One full sweep: sequential scan over chunks, each chunk sharded.
+
+    ``amps`` (n_chunks, C_local, Np, Np), ``starts`` (n_chunks, C_local, 2),
+    ``mask`` (n_chunks, C_local) are this device's slices.
+    """
+    def body(carry, inp):
+        obj_f, pupil = carry
+        a, s, m2 = inp
+        obj_f, pupil, met = _sharded_chunk(obj_f, pupil, support, a, s, m2,
+                                           opts=opts)
+        return (obj_f, pupil), met
+
+    (obj_f, pupil), mets = jax.lax.scan(body, (obj_f, pupil), (amps, starts, mask))
+    return obj_f, pupil, mets.sum(axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("opts", "mesh"),
@@ -92,7 +114,7 @@ def _run_led_sharded(obj_f, pupil, support, amps, starts, mask, opts: EPRYOption
     sweep = jax.shard_map(
         functools.partial(_sharded_sweep, opts=opts),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("led"), P("led"), P("led")),
+        in_specs=(P(), P(), P(), P(None, "led"), P(None, "led"), P(None, "led")),
         out_specs=(P(), P(), P()),
     )
 
@@ -129,16 +151,23 @@ def reconstruct_led_sharded(
 
     amps, starts = _sorted_device_inputs(images, geom, dtype)
     k = amps.shape[0]
-    pad = (-k) % n_led
-    mask = jnp.concatenate([jnp.ones(k, amps.dtype), jnp.zeros(pad, amps.dtype)])
+    obj_f, pupil, support = init_state(cfg, geom, amps, dtype=dtype)
+
+    # Chunk the schedule (models.epry.chunk_schedule), then pad each chunk
+    # to a multiple of the led-axis device count so shard_map splits evenly.
+    c_req = opts.chunk_size if opts.chunk_size > 0 else k
+    c_eff = -(-c_req // n_led) * n_led
+    perm, mask_np, n_chunks = chunk_schedule(k, c_eff, opts.chunk_assign)
+    pad = perm.size - k
     if pad:
         amps = jnp.concatenate([amps, jnp.zeros((pad,) + amps.shape[1:], amps.dtype)])
         starts = jnp.concatenate([starts, jnp.zeros((pad, 2), starts.dtype)])
-
-    obj_f, pupil, support = init_state(cfg, geom, amps, dtype=dtype)
+    amps = amps[perm].reshape(n_chunks, c_eff, *amps.shape[1:])
+    starts = starts[perm].reshape(n_chunks, c_eff, 2)
+    mask = jnp.asarray(mask_np, amps.dtype).reshape(n_chunks, c_eff)
 
     rep = NamedSharding(mesh, P())
-    led_sh = NamedSharding(mesh, P("led"))
+    led_sh = NamedSharding(mesh, P(None, "led"))
     obj_f, pupil, support = jax.device_put((obj_f, pupil, support), rep)
     amps, starts, mask = (
         jax.device_put(amps, led_sh),

@@ -51,6 +51,20 @@ def test_led_sharded_matches_batched(ds):
     assert _rel(got.obj_crop, ref.obj_crop) < 1e-10
 
 
+def test_led_sharded_chunked_matches_single_device(ds):
+    """Chunked (Gauss–Seidel-over-Jacobi) sharded sweep ≡ single-device:
+    chunk_size=8 over K=21 → 3 chunks; c_eff=8 on the 8-device led axis
+    gives one LED per device per chunk, with masked padding in chunk 3."""
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=4,
+                      dtype="complex128", mode="batched", chunk_size=8)
+    mesh = make_mesh(led=8, tile=1)
+    got = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                  iterations=4, dtype="complex128",
+                                  chunk_size=8)
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-10
+    assert _rel(got.pupil, ref.pupil) < 1e-10
+
+
 def test_tile_sharded_matches_batched(ds):
     # Nlarge=48, Np=16 → up to 3 tiles; use tile=3 alone (led=1).
     ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=4,
