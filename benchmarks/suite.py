@@ -38,6 +38,11 @@ WORKLOADS = {
     "mono":       dict(np_size=90,  pixel_size=6.5, objective_mag=8.0,
                        objective_na=0.2, max_illumination_na=0.45,
                        wavelength=0.5),          # Nlarge=360 (dataset_mono.json)
+    "mono-full":  dict(np_size=90,  pixel_size=6.5, objective_mag=8.0,
+                       objective_na=0.2, max_illumination_na=0.7604,
+                       wavelength=0.5),          # the mono DEFAULT NA filter
+    #                    (fpmMain.cpp:528): full 508-LED dome, ~80% darkfield,
+    #                    Nlarge=450 — the heaviest bundled-config workload
     "cellscope":  dict(np_size=100, pixel_size=6.9, objective_mag=8.25,
                        objective_na=0.30, max_illumination_na=0.55,
                        wavelength=0.45),         # Nlarge=600-ish (dataset_cellScope.json)

@@ -50,7 +50,12 @@ def _add_run_parser(sub):
     p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace")
     p.add_argument("--debug", action="store_true",
                    help="dump intermediate spectra PNGs per sweep (reference "
-                        "'debug' flag equivalent, fpmMain.cpp:352-455)")
+                        "'debug' flag equivalent, fpmMain.cpp:352-455), plus "
+                        "the center-LED frame (fpmMain.cpp:543)")
+    p.add_argument("--debug-led", type=int, default=None, metavar="K",
+                   help="with --debug: also dump the six per-LED working "
+                        "spectra of schedule position K every sweep "
+                        "(fpmMain.cpp:366-455)")
     p.add_argument("--no-native", action="store_true", help="force Python loader")
     p.add_argument("--fov-grid", type=int, nargs=2, metavar=("R", "C"), default=None,
                    help="large-FOV mode: reconstruct an RxC grid of "
@@ -86,6 +91,11 @@ def main(argv=None) -> int:
 
     p_info = sub.add_parser("info", help="print derived optical parameters")
     p_info.add_argument("config")
+    p_info.add_argument("--geometry", action="store_true",
+                        help="also print the per-LED geometry table "
+                             "(sinTheta, NA, idx_u/v, crop rect — the "
+                             "reference's debug dump, fpmMain.cpp:184-234) "
+                             "as JSON lines")
 
     p_sim = sub.add_parser("simulate", help="write a synthetic dataset to disk")
     p_sim.add_argument("out_dir")
@@ -96,6 +106,11 @@ def main(argv=None) -> int:
                        help="simulate full camera frames of this size "
                             "(> np-size) for large-FOV mode; cropSizeX in "
                             "the written config stays np-size")
+    p_sim.add_argument("--darkfield-exp", type=int, default=1,
+                       help="darkfieldExpMultiplier: written frames of "
+                            "darkfield LEDs carry this exposure boost and "
+                            "the key is written to dataset.json (the loader "
+                            "divides it back out, fpmMain.cpp:128-129)")
 
     args = parser.parse_args(argv)
     try:
@@ -128,6 +143,29 @@ def _cmd_info(args) -> int:
         "pupil_radius_px": __import__("fpm_tpu.geometry", fromlist=["pupil_radius"]).pupil_radius(cfg),
     }
     print(json.dumps(out, indent=2))
+    if args.geometry:
+        # Per-LED geometry table — the reference's per-LED debug dump
+        # (LED number, sinθ, NA, idx_u/v, crop rect; fpmMain.cpp:184-234)
+        # as machine-readable JSON lines instead of stdout prose.
+        import numpy as np
+
+        from .geometry import compute_geometry
+
+        geom = compute_geometry(cfg)
+        for i in range(geom.num_leds):
+            print(json.dumps({
+                "led": int(geom.led_numbers[i]),
+                "sinTheta_x": float(geom.sin_theta[i, 0]),
+                "sinTheta_y": float(geom.sin_theta[i, 1]),
+                "illumination_na": float(geom.illumination_na[i]),
+                "idx_u": int(geom.idx_uv[i, 0]),
+                "idx_v": int(geom.idx_uv[i, 1]),
+                "cropYStart": int(geom.crop_start[i, 0]),
+                "cropXStart": int(geom.crop_start[i, 1]),
+                "cropSize": cfg.np_size,
+                "darkfield": bool(geom.is_darkfield[i]),
+                "schedule_position": int(np.argmax(geom.schedule == i)),
+            }))
     return 0
 
 
@@ -141,7 +179,8 @@ def _cmd_simulate(args) -> int:
     if sim_size < args.np_size:
         raise ValueError("--frame-size must be >= --np-size")
     ds = synthetic_dataset(np_size=sim_size, grid=args.grid, seed=args.seed,
-                           quantize=True)
+                           quantize=True, raw_frames=True,
+                           darkfield_exp_multiplier=args.darkfield_exp)
     os.makedirs(args.out_dir, exist_ok=True)
     # Write TIFFs in the reference's file layout ({prefix}{led#}{ext}) so the
     # full scan/decode ingestion path is exercised hermetically.
@@ -162,6 +201,7 @@ def _cmd_simulate(args) -> int:
         "cropX": 0, "cropY": 0,
         "bk1cropX": 0, "bk1cropY": 0, "bk2cropX": 0, "bk2cropY": 0,
         "bgThresh": 0,
+        "darkfieldExpMultiplier": args.darkfield_exp,
         "delta1": ds.cfg.delta1, "delta2": ds.cfg.delta2,
         "ledCount": int(ds.cfg.led_count),
         "holeCoordinates": [
@@ -248,11 +288,16 @@ def _cmd_run(args) -> int:
         solver_kwargs = dict(mode=args.mode, global_max=args.global_max,
                              chunk_size=args.chunk_size,
                              chunk_assign=args.chunk_assign)
-        if args.mesh:
+        # --mesh flag, or the config's tileGrid key (the fpm-tpu extension
+        # that makes the cellscope2 "tiled" config self-describing).
+        mesh_req = args.mesh or (
+            list(cfg.tile_grid) if tuple(cfg.tile_grid) != (1, 1) else None
+        )
+        if mesh_req:
             from .parallel import make_mesh, reconstruct_tile_sharded
 
-            mesh = make_mesh(led=args.mesh[0], tile=args.mesh[1])
-            print(f"[fpm-tpu] mesh: led={args.mesh[0]} tile={args.mesh[1]} "
+            mesh = make_mesh(led=mesh_req[0], tile=mesh_req[1])
+            print(f"[fpm-tpu] mesh: led={mesh_req[0]} tile={mesh_req[1]} "
                   f"({len(mesh.devices.ravel())} devices)")
 
             def run_chunk(step, initial_state):
@@ -270,9 +315,67 @@ def _cmd_run(args) -> int:
                     dft_precision=args.dft_precision, **solver_kwargs,
                 )
 
+        if cfg.debug and args.debug_led is not None:
+            # Replays need the sweep-entry state; materialize the init
+            # contract for the first sweep (fpmMain.cpp:301-343). Complex
+            # buffers must not cross host↔device (axon tunnel limitation),
+            # so the init runs in a jit with real-plane outputs.
+            import functools as _ft
+
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from .geometry import pupil_support as _pupil_support
+            from .models.epry import EPRYOptions as _EPRYOptions
+            from .models.epry import _planes, init_traced
+
+            _opts = _EPRYOptions.from_config(cfg, dtype="complex64",
+                                             collect_metrics=False)
+
+            @_ft.partial(_jax.jit, static_argnames=("opts",))
+            def _init_planes(amps, support_r, opts):
+                obj_f, pupil = init_traced(amps, support_r, opts)
+                return _planes(obj_f), _planes(pupil)
+
+            _amps = _jnp.asarray(
+                np.sqrt(np.asarray(dataset.images, np.float64))[dataset.geom.schedule],
+                _jnp.float32,
+            )
+            _sup = _jnp.asarray(_pupil_support(cfg, centered=False), _jnp.float32)
+            o_pl, p_pl = _init_planes(_amps, _sup, _opts)
+            o_pl, p_pl = np.asarray(o_pl), np.asarray(p_pl)
+            debug_led_state = (o_pl[0] + 1j * o_pl[1], p_pl[0] + 1j * p_pl[1])
+        if cfg.debug:
+            # centerLED debug image (fpmMain.cpp:543): save the center LED's
+            # preprocessed frame if it is present in the stack.
+            from .utils.outputs import save_png
+
+            where = np.nonzero(dataset.geom.led_numbers == cfg.center_led)[0]
+            if where.size:
+                frame = np.asarray(dataset.images[int(where[0])], np.float64)
+                save_png(os.path.join(args.output, "debug",
+                                      f"center_led_{cfg.center_led}.png"),
+                         frame / (frame.max() + 1e-30))
+            else:
+                print(f"[fpm-tpu] debug: centerLED {cfg.center_led} not in "
+                      "the loaded stack; skipping its debug image")
+
         done = start_iter
         while done < total:
             step = min(chunk, total - done)
+            if cfg.debug and args.debug_led is not None:
+                # Per-LED working spectra at this sweep's entry state — the
+                # reference's six mid-update windows (fpmMain.cpp:366-455).
+                from .models.epry import led_intermediates
+                from .utils.outputs import SHOW_COMPLEX_MAG, save_complex_img
+
+                state = initial_state if initial_state is not None else debug_led_state
+                inter = led_intermediates(state, dataset.images, dataset.geom,
+                                          cfg, args.debug_led)
+                base = os.path.join(args.output, "debug",
+                                    f"iter{done + 1:04d}_led{args.debug_led:04d}")
+                for name, arr in inter.items():
+                    save_complex_img(arr, SHOW_COMPLEX_MAG, f"{base}_{name}")
             result = run_chunk(step, initial_state)
             done += step
             initial_state = (result.obj_f_centered, result.pupil)

@@ -147,7 +147,22 @@ class FPMConfig:
 
     # fpm-tpu extensions (no reference counterpart)
     dtype: str = "complex64"             # solver precision; "complex128" for CPU parity
-    tile_grid: tuple[int, int] = (1, 1)  # spectrum-tile sharding (parallel/)
+    tile_grid: tuple[int, int] = (1, 1)  # (led, tile) device mesh request —
+    #                                      equivalent to the CLI --mesh flag
+    config_dir: str | None = None        # directory of the loaded JSON, for
+    #                                      resolving relative coordinate files
+
+    def _resolve_path(self, path: str) -> str:
+        """Resolve a config-referenced file against the config's own
+        directory, then datasetRoot, then cwd."""
+        if os.path.isabs(path):
+            return path
+        bases = [b for b in (self.config_dir, self.dataset_root, os.getcwd()) if b]
+        for base in bases:
+            cand = os.path.join(base, path)
+            if os.path.exists(cand):
+                return cand
+        return path
 
     # ------------------------------------------------------------------ derived
     @property
@@ -191,19 +206,26 @@ class FPMConfig:
 
         Resolution order: embedded ``holeCoordinates`` array → external
         coordinate file (fixing reference quirk 4, where the file was parsed
-        into the wrong variable and discarded, fpmMain.cpp:577-582) → the
-        built-in dome table.
+        into the wrong variable and discarded, fpmMain.cpp:577-582) →
+        ``ledArrayMap`` hardware map (BASELINE config #4: dataset_fLED-c.json
+        + ledArrayMaps/fLED-c.json) → the built-in dome table.
         """
         if self.hole_coordinates is not None:
             return self.hole_coordinates
-        if self.hole_coordinate_file:
-            path = self.hole_coordinate_file
-            if not os.path.isabs(path):
-                for base in (self.dataset_root, os.getcwd()):
-                    cand = os.path.join(base, path)
-                    if os.path.exists(cand):
-                        path = cand
-                        break
+        sources = [s for s in (self.hole_coordinate_file, self.led_array_map) if s]
+        for i, source in enumerate(sources):
+            path = self._resolve_path(source)
+            if not os.path.exists(path):
+                # dataset_fLED-c.json names a coordinate file the reference
+                # never shipped ("fLED-full.json"); fall through to the
+                # ledArrayMap hardware map if one is configured.
+                if i + 1 < len(sources):
+                    warnings.warn(
+                        f"coordinate file {source!r} not found; falling back "
+                        f"to {sources[i + 1]!r}", stacklevel=2,
+                    )
+                    continue
+                raise FileNotFoundError(f"LED coordinate file not found: {source!r}")
             with open(path) as f:
                 doc = json.load(f)
             if isinstance(doc, dict) and "ledList" in doc:
@@ -228,7 +250,7 @@ class FPMConfig:
 def led_array_map_coordinates(doc: dict) -> np.ndarray:
     """Read an ``ledArrayMaps/*.json`` hardware map into (N, 3) coordinates.
 
-    The reference ships ``ledArrayMaps/fLED-c.json`` (80 LEDs with x/y/z,
+    The reference ships ``ledArrayMaps/fLED-c.json`` (581 LEDs with x/y/z,
     driver channel, rotAngle, per-color dot-correction) but contains no code
     that reads it (SURVEY.md C9 "dead data, no reader"); this is the reader it
     was missing. LEDs are ordered by their 1-based index in ``ledList``.
@@ -273,9 +295,11 @@ def load_config(path_or_dict: str | dict, iterations: int | None = None) -> FPMC
     Accepts all five bundled reference configs verbatim, including the quirk
     alias keys (SURVEY.md §2.3 items 4-6).
     """
+    config_dir = None
     if isinstance(path_or_dict, str):
         with open(path_or_dict) as f:
             doc = _lenient_json_parse(f.read())
+        config_dir = os.path.dirname(os.path.abspath(path_or_dict))
     else:
         doc = dict(path_or_dict)
 
@@ -327,6 +351,7 @@ def load_config(path_or_dict: str | dict, iterations: int | None = None) -> FPMC
         led_array_map=get("ledArrayMap", None),
         dtype=str(get("dtype", "complex64")),
         tile_grid=tuple(get("tileGrid", (1, 1))),
+        config_dir=config_dir,
     )
     if iterations is not None:
         cfg.iterations = iterations

@@ -188,9 +188,15 @@ def load_dataset(
         images = np.stack(frames)
         bgs = np.asarray(bgs_l, dtype=np.int16)
     elif use_native:
-        images, bgs = native.load_and_preprocess(
+        images, bgs, status = native.load_and_preprocess(
             [paths[n] for n in geom.led_numbers], cfg, geom.is_darkfield, num_threads
         )
+        # Per-file fallback: files the native decoder rejects (compressed/
+        # tiled TIFF variants) go through the Python decode path.
+        for i in np.nonzero(status)[0]:
+            full = _decode_image(paths[int(geom.led_numbers[i])], cfg.color,
+                                 cfg.color_channel)
+            images[i], bgs[i] = preprocess_image(full, cfg, geom.is_darkfield[i])
     else:
         images = np.empty((geom.num_leds, cfg.np_size, cfg.np_size), dtype=np.uint16)
         bgs = np.empty(geom.num_leds, dtype=np.int16)

@@ -56,6 +56,7 @@ def simulate_images(
     photon_scale: float | None = None,
     quantize: bool = True,
     seed: int | None = None,
+    apply_darkfield_exposure: bool = False,
 ) -> np.ndarray:
     """Simulate the (K, Np, Np) LED intensity stack.
 
@@ -63,6 +64,10 @@ def simulate_images(
     stack lands near 30000 (well inside uint16, like the reference's 16-bit
     TIFFs); pass ``quantize=False`` for exact float data (noise-free inverse
     crime, used by convergence tests). ``seed`` adds Poisson shot noise.
+    ``apply_darkfield_exposure`` models the longer exposure real rigs use
+    for the dim darkfield frames: darkfield-LED intensities are multiplied
+    by ``cfg.darkfield_exp_multiplier`` (the loader divides it back out at
+    ingest, fpmMain.cpp:128-129).
     """
     np_sz = cfg.np_size
     if pupil_true is None:
@@ -75,6 +80,9 @@ def simulate_images(
         patch = np.fft.ifftshift(spec_centered[ys : ys + np_sz, xs : xs + np_sz])
         fields[i] = np.fft.ifft2(patch * pupil_true)
     intensity = np.abs(fields) ** 2
+
+    if apply_darkfield_exposure and cfg.darkfield_exp_multiplier != 1:
+        intensity[geom.is_darkfield] *= cfg.darkfield_exp_multiplier
 
     if photon_scale is None:
         photon_scale = 30000.0 / max(intensity.max(), 1e-30)
@@ -94,6 +102,7 @@ def synthetic_dataset(
     seed: int = 0,
     quantize: bool = False,
     aberrated_pupil: bool = False,
+    raw_frames: bool = False,
     **cfg_overrides,
 ) -> SyntheticDataset:
     """A fully hermetic small FPM problem (planar LED grid, rif=3).
@@ -102,6 +111,11 @@ def synthetic_dataset(
     sub-aperture stays inside the large spectrum; the grid corners exceed
     ``maxIlluminationNA`` so the NA filter is exercised. Mirrors the
     dogStomach planar-grid geometry style (dataset_dogStomach.json:28-320).
+
+    ``raw_frames=True`` returns as-captured frames (darkfield exposure boost
+    applied per ``darkfield_exp_multiplier``) for writing to disk and
+    re-ingesting through the loader; the default returns loader-equivalent
+    (already-normalized) intensities for feeding the solver directly.
     """
     params = dict(
         dataset_root=".",
@@ -140,7 +154,8 @@ def synthetic_dataset(
         pupil_true = pupil_true * np.fft.ifftshift(np.exp(1j * 1.2 * r2))
 
     images = simulate_images(
-        obj_true, geom, cfg, pupil_true=pupil_true, quantize=quantize
+        obj_true, geom, cfg, pupil_true=pupil_true, quantize=quantize,
+        apply_darkfield_exposure=raw_frames,
     )
     return SyntheticDataset(
         cfg=cfg, geom=geom, images=np.asarray(images, dtype=np.float64),

@@ -459,6 +459,81 @@ def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, u
     return _planes(obj_f), _planes(pupil), _planes(obj_crop), metrics
 
 
+@functools.partial(jax.jit, static_argnames=("opts", "led_index"))
+def _led_intermediates_jit(obj_planes, pupil_planes, amps, starts, support_r,
+                           opts: EPRYOptions, led_index: int):
+    """Intermediate per-LED quantities for debug introspection (C12 parity).
+
+    The reference's debug mode opens windows of the working spectra at six
+    points inside each LED update (fpmMain.cpp:366-375, 396-402, 421-425,
+    435-441, 449-455). This replays the sequential sweep up to schedule
+    position ``led_index`` and returns that LED's intermediates, each as
+    (2, Np, Np) real/imag planes:
+
+      objf_crop   — sub-spectrum crop (fpmMain.cpp:358-362, shown :366-375)
+      objf_crop_p — crop × pupil (fpmMain.cpp:364)
+      obj_crop_p  — image-plane field (fpmMain.cpp:365, shown :396-402)
+      objf_up     — amplitude-replaced spectrum (fpmMain.cpp:389-394)
+      d_obj       — object-spectrum increment (fpmMain.cpp:404-419, :421-425)
+      pupil       — pupil after this LED's EPRY update (:449-455)
+    """
+    dtype = opts.cdtype
+    support = support_r.astype(dtype)
+    obj_f = (obj_planes[0] + 1j * obj_planes[1]).astype(dtype)
+    pupil = (pupil_planes[0] + 1j * pupil_planes[1]).astype(dtype)
+
+    omax0 = jnp.max(jnp.abs(obj_f))
+    if led_index > 0:
+        step = functools.partial(led_step, support=support, opts=opts)
+        (obj_f, pupil, _), _ = jax.lax.scan(
+            step, (obj_f, pupil, omax0), (amps[:led_index], starts[:led_index])
+        )
+
+    amp, start = amps[led_index], starts[led_index]
+    patch_c = crop_patch(obj_f, start, opts.np_size)
+    objf_crop = fftshift2d(patch_c)
+    objf_crop_p = objf_crop * pupil
+    obj_crop_p = ifft2(objf_crop_p)
+    objf_up = fft2(_amp_replace(obj_crop_p, amp, opts.eps))
+    diff = objf_up - objf_crop_p
+    d_obj = _object_delta(diff, pupil, opts.delta2)
+
+    obj_f2 = paste_patch_add(obj_f, fftshift2d(d_obj), start)
+    omax = jnp.max(jnp.abs(obj_f2)) if opts.global_max == "exact" else omax0
+    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1)
+
+    return {
+        "objf_crop": _planes(objf_crop),
+        "objf_crop_p": _planes(objf_crop_p),
+        "obj_crop_p": _planes(obj_crop_p),
+        "objf_up": _planes(objf_up),
+        "d_obj": _planes(d_obj),
+        "pupil": _planes(pupil + d_pupil),
+    }
+
+
+def led_intermediates(state, images, geom, cfg, led_index: int,
+                      dtype="complex64") -> dict[str, np.ndarray]:
+    """Host-level C12 debug dump: complex intermediates of one LED update.
+
+    ``state`` is (obj_f_centered, pupil) at sweep start (e.g. from a
+    ReconResult or checkpoint); ``led_index`` is the schedule position
+    (0 = lowest NA).
+    """
+    opts = EPRYOptions.from_config(cfg, dtype=jnp.dtype(dtype).name,
+                                   collect_metrics=False)
+    amps, starts = _sorted_device_inputs(images, geom, opts.cdtype)
+    if not 0 <= led_index < amps.shape[0]:
+        raise ValueError(f"led_index {led_index} outside schedule [0, {amps.shape[0]})")
+    support_r = jnp.asarray(pupil_support(cfg, centered=False), dtype=opts.rdtype)
+    o0, p0 = np.asarray(state[0]), np.asarray(state[1])
+    obj_planes = jnp.asarray(np.stack([o0.real, o0.imag]), opts.rdtype)
+    pupil_planes = jnp.asarray(np.stack([p0.real, p0.imag]), opts.rdtype)
+    out = _led_intermediates_jit(obj_planes, pupil_planes, amps, starts,
+                                 support_r, opts, int(led_index))
+    return {k: _unplanes_np(np.asarray(v)) for k, v in out.items()}
+
+
 @functools.partial(jax.jit, static_argnames=("opts",))
 def _residual_jit(obj_planes, pupil_planes, amps, starts, opts: EPRYOptions):
     """Data-fidelity residual Σ(A − |ifft2(crop·P)|)² of a state (batched)."""

@@ -30,6 +30,19 @@ def _load() -> ctypes.CDLL | None:
         path = _lib_path()
         if os.path.exists(path):
             lib = ctypes.CDLL(path)
+            try:
+                abi = lib.fpm_abi_version()
+            except AttributeError:
+                abi = 1
+            if abi != 2:
+                import warnings
+
+                warnings.warn(
+                    f"stale native library (ABI {abi}, need 2) at {path}; "
+                    "rebuild with make -C fpm_tpu/native — using the Python "
+                    "loader", stacklevel=2,
+                )
+                return None
             lib.fpm_load_stack.restype = ctypes.c_int
             lib.fpm_load_stack.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p),  # paths
@@ -45,6 +58,7 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int,                     # num threads (0 = auto)
                 ctypes.POINTER(ctypes.c_uint16),  # out images (n, np, np)
                 ctypes.POINTER(ctypes.c_int16),   # out bg values (n,)
+                ctypes.POINTER(ctypes.c_uint8),   # out per-image status
             ]
             _LIB = lib
     return _LIB
@@ -55,7 +69,12 @@ def available() -> bool:
 
 
 def load_and_preprocess(paths, cfg, is_darkfield, num_threads: int = 0):
-    """Decode + preprocess a list of image paths via the C++ library."""
+    """Decode + preprocess a list of image paths via the C++ library.
+
+    Returns (images, bgs, status): ``status[i] != 0`` marks files the native
+    decoder rejected (compressed/tiled TIFF, other formats) — the caller
+    re-decodes those through the Python path instead of failing the stack.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built; run make -C fpm_tpu/native")
@@ -63,9 +82,10 @@ def load_and_preprocess(paths, cfg, is_darkfield, num_threads: int = 0):
     np_sz = cfg.np_size
     images = np.empty((n, np_sz, np_sz), dtype=np.uint16)
     bgs = np.empty(n, dtype=np.int16)
+    status = np.empty(n, dtype=np.uint8)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     df = np.ascontiguousarray(np.asarray(is_darkfield), dtype=np.uint8)
-    rc = lib.fpm_load_stack(
+    lib.fpm_load_stack(
         c_paths, n,
         cfg.crop_x, cfg.crop_y, np_sz,
         cfg.bk1_crop_x, cfg.bk1_crop_y, cfg.bk2_crop_x, cfg.bk2_crop_y,
@@ -75,8 +95,6 @@ def load_and_preprocess(paths, cfg, is_darkfield, num_threads: int = 0):
         num_threads,
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         bgs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
-    if rc != 0:
-        raise RuntimeError(f"native loader failed on image index {rc - 1} "
-                           f"({paths[rc - 1] if 0 < rc <= n else '?'})")
-    return images, bgs
+    return images, bgs, status

@@ -177,8 +177,9 @@ struct Job {
   int color_channel;  // BGR index, -1 = grayscale
   uint16_t* out_images;
   int16_t* out_bgs;
+  uint8_t* out_status;  // per image: 0 = ok, 1 = decode/crop failed
   std::atomic<int> next{0};
-  std::atomic<int> failed{0};  // 1-based failing index, 0 = ok
+  std::atomic<int> n_failed{0};
 };
 
 void worker(Job* job) {
@@ -189,16 +190,19 @@ void worker(Job* job) {
 
   for (;;) {
     int i = job->next.fetch_add(1);
-    if (i >= job->n || job->failed.load()) break;
+    if (i >= job->n) break;
+    job->out_status[i] = 0;
     Image im;
-    if (!decode_tiff(job->paths[i], im, channel_rgb)) {
-      job->failed.store(i + 1);
-      break;
-    }
     int n = job->np_size;
-    if (job->crop_x + n > im.w || job->crop_y + n > im.h) {
-      job->failed.store(i + 1);
-      break;
+    // Unsupported encodings (compressed/tiled TIFF, other formats) are
+    // flagged per-file; the caller re-decodes those through the Python
+    // path instead of failing the whole stack.
+    if (!decode_tiff(job->paths[i], im, channel_rgb) ||
+        job->crop_x + n > im.w || job->crop_y + n > im.h) {
+      job->out_status[i] = 1;
+      job->out_bgs[i] = 0;
+      job->n_failed.fetch_add(1);
+      continue;
     }
     // Background estimate from the full frame (fpmMain.cpp:131-140).
     double bg = 0.5 * (window_mean(im, job->bk1x, job->bk1y, n) +
@@ -226,11 +230,15 @@ void worker(Job* job) {
 
 }  // namespace
 
+// ABI version for the ctypes binding (fpm_tpu/native/__init__.py refuses a
+// stale prebuilt library instead of calling it with the wrong signature).
+extern "C" int fpm_abi_version() { return 2; }
+
 extern "C" int fpm_load_stack(
     const char** paths, int n, int crop_x, int crop_y, int np_size, int bk1x,
     int bk1y, int bk2x, int bk2y, double bg_threshold, int darkfield_mult,
     const uint8_t* is_darkfield, int color_channel, int num_threads,
-    uint16_t* out_images, int16_t* out_bgs) {
+    uint16_t* out_images, int16_t* out_bgs, uint8_t* out_status) {
   Job job;
   job.paths = paths;
   job.n = n;
@@ -247,6 +255,7 @@ extern "C" int fpm_load_stack(
   job.color_channel = color_channel;
   job.out_images = out_images;
   job.out_bgs = out_bgs;
+  job.out_status = out_status;
 
   int nt = num_threads > 0 ? num_threads
                            : (int)std::thread::hardware_concurrency();
@@ -256,5 +265,5 @@ extern "C" int fpm_load_stack(
   threads.reserve(nt);
   for (int t = 0; t < nt; t++) threads.emplace_back(worker, &job);
   for (auto& t : threads) t.join();
-  return job.failed.load();
+  return job.n_failed.load();  // count of per-file failures (see out_status)
 }

@@ -33,6 +33,50 @@ def test_simulate_then_run_roundtrip(tmp_path, capsys):
     assert manifest["derived"]["n_large"] == 48
 
 
+def test_darkfield_exposure_roundtrip(tmp_path):
+    """End-to-end darkfield path (VERDICT r1 item 4): frames written with a
+    darkfield exposure boost, divided back out by the loader
+    (fpmMain.cpp:128-129), reconstruction quality unchanged."""
+    from PIL import Image
+
+    from fpm_tpu.config import load_config
+    from fpm_tpu.geometry import compute_geometry
+
+    data_dir = str(tmp_path / "data")
+    out_dir = str(tmp_path / "out")
+    assert main(["simulate", data_dir, "--np-size", "16", "--grid", "5",
+                 "--darkfield-exp", "4"]) == 0
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    cfg = load_config(cfg_path)
+    assert cfg.darkfield_exp_multiplier == 4
+    geom = compute_geometry(cfg)
+    assert geom.is_darkfield.any() and not geom.is_darkfield.all()
+
+    # The written darkfield frames really carry the exposure boost: compare
+    # against an unboosted simulation of the same seed.
+    plain_dir = str(tmp_path / "plain")
+    assert main(["simulate", plain_dir, "--np-size", "16", "--grid", "5"]) == 0
+    led_bf = int(geom.led_numbers[~geom.is_darkfield][0])
+    led_df = int(geom.led_numbers[geom.is_darkfield][0])
+
+    def frame(d, led):
+        return np.asarray(Image.open(os.path.join(d, f"iLED_{led}.tif")), float)
+
+    # photon_scale renormalizes the whole stack, so compare the df/bf energy
+    # ratio: the boosted dataset's darkfield frames are ~4x brighter.
+    r_boost = frame(data_dir, led_df).sum() / frame(data_dir, led_bf).sum()
+    r_plain = frame(plain_dir, led_df).sum() / frame(plain_dir, led_bf).sum()
+    assert 3.0 < r_boost / r_plain < 5.0
+
+    assert main(["run", cfg_path, "-n", "15", "-o", out_dir,
+                 "--dtype", "complex128", "--no-native"]) == 0
+    obj = np.load(os.path.join(out_dir, "object.npy"))
+    truth = np.load(os.path.join(data_dir, "object_true.npy"))
+    a, t = np.abs(obj), np.abs(truth)
+    s = (t * a).sum() / (a * a).sum()
+    assert np.sqrt(((a * s - t) ** 2).mean()) / t.mean() < 0.1
+
+
 def test_checkpointed_run_matches_straight(tmp_path):
     data_dir = str(tmp_path / "data")
     main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
@@ -119,6 +163,28 @@ def test_mesh_run(tmp_path):
     assert np.sqrt(((a * s - t) ** 2).mean()) / t.mean() < 0.15
 
 
+def test_tile_grid_config_key_builds_mesh(tmp_path, capsys):
+    """The tileGrid config key requests the device mesh exactly like --mesh
+    (previously parsed-but-dead — VERDICT r1 item 6)."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    doc = json.load(open(cfg_path))
+    doc["tileGrid"] = [4, 2]
+    with open(cfg_path, "w") as f:
+        json.dump(doc, f)
+    out_dir = str(tmp_path / "tgout")
+    capsys.readouterr()
+    assert main(["run", cfg_path, "-n", "10", "-o", out_dir,
+                 "--dtype", "complex128", "--no-native"]) == 0
+    assert "mesh: led=4 tile=2" in capsys.readouterr().out
+    obj = np.load(os.path.join(out_dir, "object.npy"))
+    truth = np.load(os.path.join(data_dir, "object_true.npy"))
+    a, t = np.abs(obj), np.abs(truth)
+    s = (t * a).sum() / (a * a).sum()
+    assert np.sqrt(((a * s - t) ** 2).mean()) / t.mean() < 0.15
+
+
 def test_pallas_cli_run(tmp_path):
     data_dir = str(tmp_path / "data")
     main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
@@ -143,3 +209,52 @@ def test_debug_mode_dumps_spectra(tmp_path):
     for i in (1, 2, 3):
         assert os.path.exists(os.path.join(dbg, f"iter{i:04d}_objF_mag.png"))
         assert os.path.exists(os.path.join(dbg, f"iter{i:04d}_pupil_mag.png"))
+
+
+def test_debug_led_intermediates_and_center_led(tmp_path):
+    """C12 per-LED parity: --debug --debug-led K dumps the six mid-update
+    working spectra per sweep (fpmMain.cpp:366-455) and the center-LED debug
+    image (fpmMain.cpp:543)."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    # set centerLED to an id actually in the stack
+    doc = json.load(open(cfg_path))
+    doc["centerLED"] = 13  # 5x5 grid center
+    with open(cfg_path, "w") as f:
+        json.dump(doc, f)
+    out_dir = str(tmp_path / "dbgled")
+    assert main(["run", cfg_path, "-n", "2", "-o", out_dir,
+                 "--dtype", "complex128", "--debug", "--debug-led", "3",
+                 "--no-native"]) == 0
+    dbg = os.path.join(out_dir, "debug")
+    assert os.path.exists(os.path.join(dbg, "center_led_13.png"))
+    for it in (1, 2):
+        for stage in ("objf_crop", "objf_crop_p", "obj_crop_p", "objf_up",
+                      "d_obj", "pupil"):
+            f = os.path.join(dbg, f"iter{it:04d}_led0003_{stage}_mag.png")
+            assert os.path.exists(f), f
+
+
+def test_info_geometry_dump(tmp_path, capsys):
+    """info --geometry prints the per-LED table the reference's debug mode
+    dumped (fpmMain.cpp:184-234), with values matching compute_geometry."""
+    from fpm_tpu.config import load_config
+    from fpm_tpu.geometry import compute_geometry
+
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    capsys.readouterr()
+    assert main(["info", cfg_path, "--geometry"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    # header JSON block + one line per kept LED
+    geom = compute_geometry(load_config(cfg_path))
+    rows = [json.loads(ln) for ln in lines if ln.startswith('{"led"')]
+    assert len(rows) == geom.num_leds
+    i = geom.num_leds // 2
+    assert rows[i]["led"] == int(geom.led_numbers[i])
+    assert rows[i]["idx_u"] == int(geom.idx_uv[i, 0])
+    assert rows[i]["cropYStart"] == int(geom.crop_start[i, 0])
+    np.testing.assert_allclose(rows[i]["illumination_na"],
+                               geom.illumination_na[i], rtol=1e-12)

@@ -72,12 +72,37 @@ def test_native_matches_python_rgb(tmp_path, built):
     np.testing.assert_array_equal(ds_nat.images, ds_py.images)
 
 
-def test_native_error_on_missing_file(tmp_path, built):
+def test_native_flags_missing_file(tmp_path, built):
     cfg = _make_cfg(tmp_path)
     rng = np.random.default_rng(2)
     _write_gray16(tmp_path / "iLED_1.tif", rng)
-    with pytest.raises(RuntimeError, match="native loader failed"):
-        native.load_and_preprocess(
-            [str(tmp_path / "iLED_1.tif"), str(tmp_path / "nope.tif")],
-            cfg, np.zeros(2, bool), 0,
-        )
+    _, _, status = native.load_and_preprocess(
+        [str(tmp_path / "iLED_1.tif"), str(tmp_path / "nope.tif")],
+        cfg, np.zeros(2, bool), 0,
+    )
+    assert status.tolist() == [0, 1]
+
+
+def test_compressed_tiff_per_file_fallback(tmp_path, built):
+    """A compressed TIFF in the stack must not fail the native load: the
+    decoder flags it and the loader re-decodes that file via Python
+    (VERDICT r1 item 8)."""
+    rng = np.random.default_rng(3)
+    for led in (1, 2, 4):
+        _write_gray16(tmp_path / f"iLED_{led}.tif", rng)
+    img = rng.integers(0, 4000, size=(48, 48), dtype=np.uint16)
+    Image.fromarray(img).save(tmp_path / "iLED_3.tif", compression="tiff_lzw")
+    cfg = _make_cfg(tmp_path)
+
+    # the native decoder really does reject the compressed file
+    _, _, status = native.load_and_preprocess(
+        [str(tmp_path / f"iLED_{n}.tif") for n in (1, 2, 3, 4)],
+        cfg, np.zeros(4, bool), 0,
+    )
+    assert status.tolist() == [0, 0, 1, 0]
+
+    # ...and the full load falls back per-file, matching the Python loader
+    ds_py = load_dataset(cfg, use_native=False)
+    ds_nat = load_dataset(cfg, use_native=True)
+    np.testing.assert_array_equal(ds_nat.images, ds_py.images)
+    np.testing.assert_array_equal(ds_nat.bg_values, ds_py.bg_values)
