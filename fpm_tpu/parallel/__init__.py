@@ -10,5 +10,11 @@ fpmMain.cpp:467, ppermute halos).
 """
 
 from .mesh import make_mesh, mesh_shape_for  # noqa: F401
-from .led_shard import reconstruct_led_sharded  # noqa: F401
-from .tile_shard import reconstruct_tile_sharded  # noqa: F401
+from .led_shard import prepare_led_sharded, reconstruct_led_sharded  # noqa: F401
+from .tile_shard import prepare_tile_sharded, reconstruct_tile_sharded  # noqa: F401
+from .comm import (  # noqa: F401
+    hlo_collective_inventory,
+    led_shard_comm,
+    project_weak_scaling,
+    tile_shard_comm,
+)

@@ -1,0 +1,197 @@
+"""Per-sweep communication accounting for the sharded sweeps (SURVEY.md N3).
+
+The reference has no communication to account for (single process,
+fpmMain.cpp:500-592); every collective in fpm-tpu is new TPU-native design,
+so its cost model must be written down to judge the BASELINE.json ≥85%
+weak-scaling target without multi-chip hardware. This module computes, from
+the same static geometry the sharded sweeps use, exactly which collectives
+one sweep issues and how many bytes each moves:
+
+* ``led_shard_comm``  — the chunked Gauss–Seidel-over-Jacobi sweep
+  (parallel/led_shard.py): per chunk, one object-increment ``psum``
+  (Nlarge² complex), one pupil-consensus ``psum`` (Np² complex), and the
+  two scalar metric ``psum``s.
+* ``tile_shard_comm`` — the spectrum-row-sharded sweep
+  (parallel/tile_shard.py): per sweep, forward + reverse halo ``ppermute``
+  (Np·Nlarge complex each, point-to-point over ICI), one extended-block
+  ``psum`` over the led axis ((S+Np)·Nlarge complex), the scalar ``pmax``
+  realizing the reference's full-spectrum ``cv::minMaxLoc``
+  (fpmMain.cpp:467), and the pupil consensus.
+
+Byte counts are *payload* bytes. For a p-device ring all-reduce each device
+sends and receives ``2·(p−1)/p × payload`` bytes (reduce-scatter +
+all-gather); a ``ppermute`` moves the payload once per device. The
+``project_weak_scaling`` model combines these with a measured per-device
+compute rate and an assumed per-device ICI bandwidth to produce the
+weak-scaling efficiency estimate recorded in SCALING.md.
+
+``hlo_collective_inventory`` cross-checks the analytic model against the
+compiled program: it parses the post-optimization HLO of a sharded sweep and
+returns every collective op with its payload bytes, so the model is verified
+against what XLA actually emits rather than trusted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+
+
+@dataclasses.dataclass(frozen=True)
+class Collective:
+    op: str            # 'psum' | 'ppermute' | 'pmax'
+    axis: str          # mesh axis/axes
+    payload_bytes: int  # bytes reduced/moved per call (one replica's payload)
+    calls_per_sweep: int
+    what: str          # which solver quantity
+
+    @property
+    def bytes_per_sweep(self) -> int:
+        return self.payload_bytes * self.calls_per_sweep
+
+
+def _ring_allreduce_device_bytes(payload: int, p: int) -> int:
+    """Bytes sent per device for a p-device ring all-reduce of ``payload``."""
+    if p <= 1:
+        return 0
+    return math.ceil(2 * (p - 1) / p * payload)
+
+
+def led_shard_comm(
+    n_large: int,
+    np_size: int,
+    k: int,
+    chunk_size: int,
+    n_led: int,
+    dtype_bytes: int = 8,
+) -> dict:
+    """Collectives one LED-sharded sweep issues (parallel/led_shard.py).
+
+    Mirrors ``reconstruct_led_sharded``'s chunking: the requested chunk is
+    rounded up to a multiple of the led-axis size, giving
+    ``ceil(K/chunk_eff)`` chunks per sweep, each ending in one object psum +
+    one pupil psum (+ 2 scalar metric psums).
+    """
+    c_req = chunk_size if chunk_size > 0 else k
+    c_eff = -(-c_req // n_led) * n_led
+    n_chunks = -(-k // c_eff)
+    scalar = 4  # f32 metric scalars
+    cols = [
+        Collective("psum", "led", n_large * n_large * dtype_bytes, n_chunks,
+                   "object-spectrum increment consensus"),
+        Collective("psum", "led", np_size * np_size * dtype_bytes, n_chunks,
+                   "pupil increment consensus"),
+        Collective("psum", "led", scalar, 2 * n_chunks, "metrics"),
+    ]
+    return _summarize(cols, axis_sizes={"led": n_led}, n_chunks=n_chunks)
+
+
+def tile_shard_comm(
+    n_large: int,
+    np_size: int,
+    k: int,
+    n_led: int,
+    n_tile: int,
+    dtype_bytes: int = 8,
+) -> dict:
+    """Collectives one tile-sharded sweep issues (parallel/tile_shard.py)."""
+    s = n_large // n_tile
+    scalar = 4
+    halo = np_size * n_large * dtype_bytes
+    cols = [
+        Collective("ppermute", "tile", halo, 1, "forward halo (next tile's top Np rows)"),
+        Collective("psum", "led", (s + np_size) * n_large * dtype_bytes, 1,
+                   "extended-block object increment consensus"),
+        Collective("ppermute", "tile", halo, 1, "reverse halo (increments in halo rows)"),
+        Collective("pmax", "tile", scalar, 1,
+                   "global max|O| (the reference's cv::minMaxLoc, fpmMain.cpp:467)"),
+        Collective("psum", "led,tile", np_size * np_size * dtype_bytes, 1,
+                   "pupil increment consensus"),
+        Collective("psum", "led,tile", scalar, 2, "metrics"),
+    ]
+    return _summarize(cols, axis_sizes={"led": n_led, "tile": n_tile}, n_chunks=1)
+
+
+def _summarize(cols: list[Collective], axis_sizes: dict[str, int], n_chunks: int) -> dict:
+    """Totals + per-device wire bytes under the ring-collective model."""
+    per_device = 0
+    for c in cols:
+        if c.op in ("psum", "pmax"):
+            p = math.prod(axis_sizes[a] for a in c.axis.split(","))
+            per_device += _ring_allreduce_device_bytes(c.payload_bytes, p) * c.calls_per_sweep
+        else:  # ppermute: each device sends its payload once per call
+            # (a 1-device axis degenerates to a local copy — no wire bytes)
+            if all(axis_sizes[a] > 1 for a in c.axis.split(",")):
+                per_device += c.payload_bytes * c.calls_per_sweep
+    return {
+        "collectives": [dataclasses.asdict(c) for c in cols],
+        "n_chunks_per_sweep": n_chunks,
+        "payload_bytes_per_sweep": sum(c.bytes_per_sweep for c in cols),
+        "device_wire_bytes_per_sweep": per_device,
+    }
+
+
+def project_weak_scaling(
+    compute_s_per_sweep: float,
+    device_wire_bytes: float,
+    ici_bandwidth_gbs: float = 45.0,
+    overlap: float = 0.0,
+) -> dict:
+    """Weak-scaling efficiency estimate at fixed per-device work.
+
+    ``compute_s_per_sweep`` is the measured single-device sweep time for the
+    per-device workload; ``device_wire_bytes`` comes from the comm model
+    above at the target device count. ``ici_bandwidth_gbs`` defaults to one
+    v5e ICI link direction (~45 GB/s; a 2D-torus chip has more aggregate, so
+    this is conservative). ``overlap`` ∈ [0, 1] is the fraction of comm
+    hidden under compute (0 = fully exposed, the pessimistic bound).
+    """
+    t_comm = device_wire_bytes / (ici_bandwidth_gbs * 1e9)
+    t_total = compute_s_per_sweep + (1.0 - overlap) * t_comm
+    return {
+        "compute_s": compute_s_per_sweep,
+        "comm_s": t_comm,
+        "efficiency": compute_s_per_sweep / t_total,
+        "ici_bandwidth_gbs": ici_bandwidth_gbs,
+        "overlap": overlap,
+    }
+
+
+_HLO_COLLECTIVE_RE = re.compile(
+    r"\b(all-reduce|collective-permute|all-gather|reduce-scatter|all-to-all)"
+    r"(?:-start)?\b"
+)
+_SHAPE_RE = re.compile(r"\b([a-z]+\d+)\[([0-9,]*)\]")
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+    "c64": 8, "c128": 16,
+    "s64": 8, "s32": 4, "u32": 4, "s8": 1, "u8": 1, "pred": 1,
+}
+
+
+def hlo_collective_inventory(hlo_text: str) -> list[dict]:
+    """Parse post-optimization HLO for collective ops + payload bytes.
+
+    Dedups the -start/-done pairs of async collectives (counts each once)
+    and sums the byte size of each op's result shapes. Used to verify the
+    analytic model against what XLA actually emits on the fake-device mesh.
+    """
+    out = []
+    for line in hlo_text.splitlines():
+        m = _HLO_COLLECTIVE_RE.search(line)
+        if not m or "-done" in line or "fusion" in line.split("=")[0]:
+            continue
+        lhs = line.split("=", 1)[0]
+        nbytes = 0
+        for dt, dims in _SHAPE_RE.findall(lhs):
+            if dt not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES[dt]
+        out.append({"op": m.group(1), "bytes": nbytes, "line": line.strip()[:160]})
+    return out

@@ -128,19 +128,24 @@ def _run_led_sharded(obj_f, pupil, support, amps, starts, mask, opts: EPRYOption
     return obj_f, pupil, obj_crop, metrics
 
 
-def reconstruct_led_sharded(
+def prepare_led_sharded(
     images,
     geom: LEDGeometry,
     cfg: FPMConfig,
-    mesh: Mesh | None = None,
+    mesh: Mesh,
     iterations: int | None = None,
     dtype=None,
     **opt_overrides,
-) -> ReconResult:
-    """Multi-device epoch-synchronous reconstruction, LED axis sharded."""
+):
+    """Device-placed inputs + opts for :func:`_run_led_sharded`.
+
+    Chunks the schedule (models.epry.chunk_schedule), pads each chunk to a
+    multiple of the led-axis device count so shard_map splits evenly, and
+    places every array with its mesh sharding. Split out of
+    :func:`reconstruct_led_sharded` so benchmarks/scaling.py can lower and
+    compile the identical program for HLO collective inventory.
+    """
     dtype = jnp.dtype(dtype or cfg.dtype)
-    if mesh is None:
-        mesh = make_mesh(tile=1)
     n_led = mesh.shape["led"]
     opts = EPRYOptions.from_config(
         cfg,
@@ -153,8 +158,6 @@ def reconstruct_led_sharded(
     k = amps.shape[0]
     obj_f, pupil, support = init_state(cfg, geom, amps, dtype=dtype)
 
-    # Chunk the schedule (models.epry.chunk_schedule), then pad each chunk
-    # to a multiple of the led-axis device count so shard_map splits evenly.
     c_req = opts.chunk_size if opts.chunk_size > 0 else k
     c_eff = -(-c_req // n_led) * n_led
     perm, mask_np, n_chunks = chunk_schedule(k, c_eff, opts.chunk_assign)
@@ -174,10 +177,26 @@ def reconstruct_led_sharded(
         jax.device_put(starts, led_sh),
         jax.device_put(mask, led_sh),
     )
+    return (obj_f, pupil, support, amps, starts, mask), opts
 
-    obj_f, pupil, obj_crop, metrics = _run_led_sharded(
-        obj_f, pupil, support, amps, starts, mask, opts, mesh
+
+def reconstruct_led_sharded(
+    images,
+    geom: LEDGeometry,
+    cfg: FPMConfig,
+    mesh: Mesh | None = None,
+    iterations: int | None = None,
+    dtype=None,
+    **opt_overrides,
+) -> ReconResult:
+    """Multi-device epoch-synchronous reconstruction, LED axis sharded."""
+    if mesh is None:
+        mesh = make_mesh(tile=1)
+    args, opts = prepare_led_sharded(
+        images, geom, cfg, mesh, iterations=iterations, dtype=dtype,
+        **opt_overrides,
     )
+    obj_f, pupil, obj_crop, metrics = _run_led_sharded(*args, opts, mesh)
     metrics = np.asarray(metrics)
     return ReconResult(
         obj_crop=np.asarray(obj_crop),

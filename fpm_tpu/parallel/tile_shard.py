@@ -21,8 +21,13 @@ memory bottleneck, so here it is row-sharded over the ``tile`` mesh axis with
    reduction (``cv::minMaxLoc`` over the full spectrum, fpmMain.cpp:467),
    and ``psum`` over both axes forms the pupil consensus.
 
-Epoch-synchronous (Jacobi) sweep semantics, identical to
-``models.epry.sweep_batched`` up to floating-point reduction order.
+Chunked Gauss–Seidel-over-Jacobi sweep semantics, identical to
+``models.epry.sweep_batched`` up to floating-point reduction order: the
+NA-sorted schedule is split into ``ceil(K/chunk_size)`` strided chunks
+processed sequentially (the measured stability condition at realistic LED
+counts — models/epry.py docstring, benchmarks/convergence.py); each chunk
+does one halo exchange + one consensus round. ``chunk_size=0`` degenerates
+to whole-sweep Jacobi (one collective round per sweep, unstable at K≳100).
 """
 
 from __future__ import annotations
@@ -48,12 +53,27 @@ from ..ops import fft2, fftshift2d, ifft2, ifftshift2d
 
 
 def partition_leds_by_tile(
-    geom: LEDGeometry, n_large: int, n_tile: int, n_led: int, np_size: int
+    geom: LEDGeometry,
+    n_large: int,
+    n_tile: int,
+    n_led: int,
+    np_size: int,
+    chunk_size: int = 0,
+    chunk_assign: str = "strided",
 ):
     """Host-side static partition of the LED schedule into per-device worksets.
 
-    Returns (starts_rel, owner_counts) metadata plus index worksets shaped
-    (n_led, n_tile, k_max): schedule positions padded with -1.
+    Chunk membership follows ``models.epry.chunk_schedule`` semantics
+    (``n_chunks = ceil(K/chunk_size)``; ``chunk_size=0`` = one whole-sweep
+    chunk) so the chunked tile-sharded sweep matches the single-device
+    chunked sweep: ``'strided'`` puts schedule position i into chunk
+    ``i % n_chunks`` (each chunk spans the NA range — the measured
+    stability condition, models/epry.py docstring); ``'contiguous'`` keeps
+    NA-sorted runs together. Within a chunk, LEDs go to the tile owning
+    their patch's first row, round-robined over the ``led`` slots.
+
+    Returns (idx, s): schedule positions shaped
+    (n_chunks, n_led, n_tile, k_max), padded with -1, and the tile height.
     """
     s = n_large // n_tile
     if s * n_tile != n_large:
@@ -64,28 +84,46 @@ def partition_leds_by_tile(
             "exchange requires Nlarge/n_tile >= Np"
         )
     order = geom.schedule  # positions into geometry arrays
+    k = len(order)
+    c = chunk_size if chunk_size > 0 else k
+    n_chunks = -(-k // c)
     owners = geom.crop_start[order, 0] // s
-    worksets = [[[] for _ in range(n_tile)] for _ in range(n_led)]
-    counters = np.zeros(n_tile, dtype=np.int64)
+    if chunk_assign == "strided" and n_chunks > 1:
+        chunk_of = np.arange(k) % n_chunks
+    else:
+        chunk_of = np.arange(k) // c
+    worksets = [
+        [[[] for _ in range(n_tile)] for _ in range(n_led)]
+        for _ in range(n_chunks)
+    ]
+    counters = np.zeros((n_chunks, n_tile), dtype=np.int64)
     for pos_i, owner in enumerate(owners):
-        led_slot = counters[owner] % n_led
-        worksets[led_slot][owner].append(pos_i)
-        counters[owner] += 1
-    k_max = max(1, max(len(w) for row in worksets for w in row))
-    idx = -np.ones((n_led, n_tile, k_max), dtype=np.int64)
-    for li in range(n_led):
-        for ti in range(n_tile):
-            w = worksets[li][ti]
-            idx[li, ti, : len(w)] = w
+        ci = chunk_of[pos_i]
+        led_slot = counters[ci, owner] % n_led
+        worksets[ci][led_slot][owner].append(pos_i)
+        counters[ci, owner] += 1
+    k_max = max(
+        1, max(len(w) for ch in worksets for row in ch for w in row)
+    )
+    idx = -np.ones((n_chunks, n_led, n_tile, k_max), dtype=np.int64)
+    for ci in range(n_chunks):
+        for li in range(n_led):
+            for ti in range(n_tile):
+                w = worksets[ci][li][ti]
+                idx[ci, li, ti, : len(w)] = w
     return idx, s
 
 
-def _tile_sweep(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s, n_tile):
-    """Per-device sweep body under shard_map over ('led', 'tile')."""
+def _tile_chunk(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s, n_tile):
+    """One Jacobi chunk on the row-sharded spectrum (under shard_map).
+
+    ``amps``/``starts_rel``/``mask`` are this device's slice of the chunk's
+    workset. Halo exchange, consensus, and the global-max pmax happen once
+    per chunk — the chunked Gauss–Seidel-over-Jacobi semantics of
+    ``models.epry.sweep_batched`` (the stability condition at realistic LED
+    counts, models/epry.py docstring), now on the sharded spectrum.
+    """
     np_sz = opts.np_size
-    # Worksets arrive with leading (1, 1) block dims from the ('led', 'tile')
-    # sharding; drop them.
-    amps, starts_rel, mask = amps[0, 0], starts_rel[0, 0], mask[0, 0]
 
     # --- forward halo: receive next tile's first Np rows (single hop on ICI)
     fwd = [((i + 1) % n_tile, i) for i in range(n_tile)]
@@ -134,6 +172,29 @@ def _tile_sweep(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s,
     return obj_f_local, pupil, jnp.stack([resid, upd])
 
 
+def _tile_sweep(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s, n_tile):
+    """Per-device sweep body: sequential scan over chunks (shard_map).
+
+    Worksets arrive shaped (n_chunks, 1, 1, k_local, ...) from the
+    (None, 'led', 'tile') sharding; drop the block dims and scan the chunk
+    axis.
+    """
+    amps, starts_rel, mask = amps[:, 0, 0], starts_rel[:, 0, 0], mask[:, 0, 0]
+
+    def body(carry, inp):
+        obj_f_local, pupil = carry
+        a, st, m2 = inp
+        obj_f_local, pupil, met = _tile_chunk(
+            obj_f_local, pupil, support, a, st, m2, opts=opts, s=s, n_tile=n_tile
+        )
+        return (obj_f_local, pupil), met
+
+    (obj_f_local, pupil), mets = jax.lax.scan(
+        body, (obj_f_local, pupil), (amps, starts_rel, mask)
+    )
+    return obj_f_local, pupil, mets.sum(axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("opts", "mesh", "s", "n_tile"),
@@ -146,9 +207,9 @@ def _run_tile_sharded(obj_f, pupil, support, amps, starts_rel, mask, opts, mesh,
         in_specs=(
             P("tile", None),               # obj_f row-sharded
             P(), P(),                      # pupil, support replicated
-            P("led", "tile"),              # per-device LED worksets
-            P("led", "tile"),
-            P("led", "tile"),
+            P(None, "led", "tile"),        # per-device chunked LED worksets
+            P(None, "led", "tile"),
+            P(None, "led", "tile"),
         ),
         out_specs=(P("tile", None), P(), P()),
     )
@@ -161,6 +222,77 @@ def _run_tile_sharded(obj_f, pupil, support, amps, starts_rel, mask, opts, mesh,
     (obj_f, pupil), metrics = jax.lax.scan(body, (obj_f, pupil), None, length=opts.iterations)
     obj_crop = ifft2(ifftshift2d(obj_f))
     return obj_f, pupil, obj_crop, metrics
+
+
+def prepare_tile_sharded(
+    images,
+    geom: LEDGeometry,
+    cfg: FPMConfig,
+    mesh: Mesh,
+    iterations: int | None = None,
+    dtype=None,
+    initial_state: tuple | None = None,
+    **opt_overrides,
+):
+    """Device-placed inputs + (opts, s, n_tile) for :func:`_run_tile_sharded`.
+
+    Split out of :func:`reconstruct_tile_sharded` so benchmarks/scaling.py
+    can lower and compile the identical program for HLO collective
+    inventory.
+    """
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    n_led, n_tile = mesh.shape["led"], mesh.shape["tile"]
+    opts = EPRYOptions.from_config(
+        cfg,
+        iterations=iterations if iterations is not None else cfg.iterations,
+        mode="batched",
+        **opt_overrides,
+    )
+
+    idx, s = partition_leds_by_tile(
+        geom, cfg.n_large, n_tile, n_led, cfg.np_size,
+        chunk_size=opts.chunk_size, chunk_assign=opts.chunk_assign,
+    )
+    n_chunks, k_max = idx.shape[0], idx.shape[-1]
+
+    # Build per-device worksets in schedule order.
+    order = geom.schedule
+    amps_all = np.sqrt(np.asarray(images, dtype=np.float64))[order]
+    starts_all = geom.crop_start[order].astype(np.int64)
+    real_dtype = jnp.zeros((), dtype).real.dtype
+
+    amps_w = np.zeros((n_chunks, n_led, n_tile, k_max, cfg.np_size, cfg.np_size))
+    starts_w = np.zeros((n_chunks, n_led, n_tile, k_max, 2), dtype=np.int32)
+    mask_w = np.zeros((n_chunks, n_led, n_tile, k_max))
+    for ci in range(n_chunks):
+        for li in range(n_led):
+            for ti in range(n_tile):
+                for ki, pos in enumerate(idx[ci, li, ti]):
+                    if pos < 0:
+                        continue
+                    amps_w[ci, li, ti, ki] = amps_all[pos]
+                    starts_w[ci, li, ti, ki] = [
+                        starts_all[pos, 0] - ti * s, starts_all[pos, 1]
+                    ]
+                    mask_w[ci, li, ti, ki] = 1.0
+
+    amps0 = np.sqrt(np.asarray(images, dtype=np.float64))[order]
+    obj_f, pupil, support = init_state(
+        cfg, geom, jnp.asarray(amps0, dtype=real_dtype), dtype=dtype
+    )
+    if initial_state is not None:
+        obj_f = jnp.asarray(initial_state[0], dtype=dtype)
+        pupil = jnp.asarray(initial_state[1], dtype=dtype)
+
+    obj_sh = NamedSharding(mesh, P("tile", None))
+    rep = NamedSharding(mesh, P())
+    w_sh = NamedSharding(mesh, P(None, "led", "tile"))
+    obj_f = jax.device_put(obj_f, obj_sh)
+    pupil, support = jax.device_put((pupil, support), rep)
+    amps_w = jax.device_put(jnp.asarray(amps_w, dtype=real_dtype), w_sh)
+    starts_w = jax.device_put(jnp.asarray(starts_w, dtype=jnp.int32), w_sh)
+    mask_w = jax.device_put(jnp.asarray(mask_w, dtype=real_dtype), w_sh)
+    return (obj_f, pupil, support, amps_w, starts_w, mask_w), opts, s, n_tile
 
 
 def reconstruct_tile_sharded(
@@ -179,55 +311,12 @@ def reconstruct_tile_sharded(
     owned LEDs. ``initial_state`` is an optional (obj_f_centered, pupil)
     pair for checkpoint resume.
     """
-    dtype = jnp.dtype(dtype or cfg.dtype)
-    n_led, n_tile = mesh.shape["led"], mesh.shape["tile"]
-    opts = EPRYOptions.from_config(
-        cfg,
-        iterations=iterations if iterations is not None else cfg.iterations,
-        mode="batched",
-        **opt_overrides,
+    args, opts, s, n_tile = prepare_tile_sharded(
+        images, geom, cfg, mesh, iterations=iterations, dtype=dtype,
+        initial_state=initial_state, **opt_overrides,
     )
-
-    idx, s = partition_leds_by_tile(geom, cfg.n_large, n_tile, n_led, cfg.np_size)
-    k_max = idx.shape[-1]
-
-    # Build per-device worksets in schedule order.
-    order = geom.schedule
-    amps_all = np.sqrt(np.asarray(images, dtype=np.float64))[order]
-    starts_all = geom.crop_start[order].astype(np.int64)
-    real_dtype = jnp.zeros((), dtype).real.dtype
-
-    amps_w = np.zeros((n_led, n_tile, k_max, cfg.np_size, cfg.np_size))
-    starts_w = np.zeros((n_led, n_tile, k_max, 2), dtype=np.int32)
-    mask_w = np.zeros((n_led, n_tile, k_max))
-    for li in range(n_led):
-        for ti in range(n_tile):
-            for ki, pos in enumerate(idx[li, ti]):
-                if pos < 0:
-                    continue
-                amps_w[li, ti, ki] = amps_all[pos]
-                starts_w[li, ti, ki] = [starts_all[pos, 0] - ti * s, starts_all[pos, 1]]
-                mask_w[li, ti, ki] = 1.0
-
-    amps0 = np.sqrt(np.asarray(images, dtype=np.float64))[order]
-    obj_f, pupil, support = init_state(
-        cfg, geom, jnp.asarray(amps0, dtype=real_dtype), dtype=dtype
-    )
-    if initial_state is not None:
-        obj_f = jnp.asarray(initial_state[0], dtype=dtype)
-        pupil = jnp.asarray(initial_state[1], dtype=dtype)
-
-    obj_sh = NamedSharding(mesh, P("tile", None))
-    rep = NamedSharding(mesh, P())
-    w_sh = NamedSharding(mesh, P("led", "tile"))
-    obj_f = jax.device_put(obj_f, obj_sh)
-    pupil, support = jax.device_put((pupil, support), rep)
-    amps_w = jax.device_put(jnp.asarray(amps_w, dtype=real_dtype), w_sh)
-    starts_w = jax.device_put(jnp.asarray(starts_w, dtype=jnp.int32), w_sh)
-    mask_w = jax.device_put(jnp.asarray(mask_w, dtype=real_dtype), w_sh)
-
     obj_f, pupil, obj_crop, metrics = _run_tile_sharded(
-        obj_f, pupil, support, amps_w, starts_w, mask_w, opts, mesh, s, n_tile
+        *args, opts, mesh, s, n_tile
     )
     metrics = np.asarray(metrics)
     return ReconResult(

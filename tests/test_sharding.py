@@ -86,6 +86,20 @@ def test_combined_led_tile_mesh(ds):
     assert _rel(got.pupil, ref.pupil) < 1e-10
 
 
+def test_tile_sharded_chunked_matches_single_device(ds):
+    """Chunked Gauss–Seidel-over-Jacobi on the row-sharded spectrum ≡ the
+    single-device chunked sweep: chunk_size=8 over K=21 → 3 strided chunks,
+    each doing its own halo exchange + consensus round."""
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=4,
+                      dtype="complex128", mode="batched", chunk_size=8)
+    mesh = make_mesh(led=2, tile=3, devices=jax.devices()[:6])
+    got = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                   iterations=4, dtype="complex128",
+                                   chunk_size=8)
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-10
+    assert _rel(got.pupil, ref.pupil) < 1e-10
+
+
 def test_sharded_converges_to_truth(ds):
     mesh = make_mesh(led=4, tile=2)
     res = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
