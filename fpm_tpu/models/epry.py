@@ -298,6 +298,39 @@ def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     return obj_f, pupil, jnp.zeros((2,), dtype=amps.dtype)
 
 
+def sweep_batched_pallas(obj_f, pupil, amps_it, starts_it, mask, *, support,
+                         opts: EPRYOptions):
+    """Chunked Gauss–Seidel-over-Jacobi sweep via the fused chunked kernel.
+
+    Equivalent to :func:`sweep_batched` (ops/pallas_kernels.py
+    ``fused_epry_chunked`` batches each chunk's LEDs onto the MXU); inputs
+    are the pre-chunked (n_chunks, C, ...) arrays. Metrics are not
+    collected in-kernel (same contract as :func:`sweep_pallas`).
+    """
+    import jax as _jax
+
+    from ..ops.pallas_kernels import fused_epry_chunked
+
+    o_planes = jnp.stack([jnp.real(obj_f), jnp.imag(obj_f)]).astype(jnp.float32)
+    p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
+    support_r = jnp.real(support).astype(jnp.float32)
+    o_out, p_out = fused_epry_chunked(
+        o_planes, p_planes, support_r,
+        amps_it.astype(jnp.float32),
+        starts_it.reshape(-1).astype(jnp.int32),
+        (mask > 0).reshape(-1).astype(jnp.int32),
+        np_size=opts.np_size, n_large=opts.n_large,
+        delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
+        interpret=_jax.default_backend() != "tpu",
+        dft_precision=opts.dft_precision,
+        pupil_radius=opts.pupil_radius,
+        pupil_step_scale=opts.pupil_step_scale,
+    )
+    obj_f = (o_out[0] + 1j * o_out[1]).astype(obj_f.dtype)
+    pupil = (p_out[0] + 1j * p_out[1]).astype(pupil.dtype)
+    return obj_f, pupil, jnp.zeros((2,), dtype=amps_it.dtype)
+
+
 def chunk_schedule(k: int, chunk_size: int, assign: str) -> tuple[np.ndarray, np.ndarray, int]:
     """Static chunking of a K-LED schedule: (perm, mask, n_chunks).
 
@@ -419,31 +452,26 @@ def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, u
     else:
         obj_f, pupil = init_traced(amps, support_r, opts)
 
-    if opts.use_pallas:
-        if opts.mode != "sequential":
-            raise ValueError("use_pallas supports the sequential mode only")
-        sweep = sweep_pallas
-        mask = None
+    if opts.mode == "batched":
+        # Hoist the static chunk permutation out of the iteration loop.
+        k = amps.shape[0]
+        perm, mask_np, n_chunks = chunk_schedule(k, opts.chunk_size, opts.chunk_assign)
+        pad = perm.size - k
+        a, s = amps, starts
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+            s = jnp.concatenate([s, jnp.zeros((pad, 2), s.dtype)])
+        c = perm.size // n_chunks
+        amps_it = a[perm].reshape(n_chunks, c, *a.shape[1:])
+        starts_it = s[perm].reshape(n_chunks, c, 2)
+        mask = jnp.asarray(mask_np, support_r.dtype).reshape(n_chunks, c)
+        sweep = sweep_batched_pallas if opts.use_pallas else sweep_batched
     else:
-        sweep = sweep_sequential if opts.mode == "sequential" else sweep_batched
-        mask = None
-        if opts.mode == "batched":
-            # Hoist the static chunk permutation out of the iteration loop.
-            k = amps.shape[0]
-            perm, mask_np, n_chunks = chunk_schedule(k, opts.chunk_size, opts.chunk_assign)
-            pad = perm.size - k
-            a, s = amps, starts
-            if pad:
-                a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
-                s = jnp.concatenate([s, jnp.zeros((pad, 2), s.dtype)])
-            c = perm.size // n_chunks
-            amps_it = a[perm].reshape(n_chunks, c, *a.shape[1:])
-            starts_it = s[perm].reshape(n_chunks, c, 2)
-            mask = jnp.asarray(mask_np, support_r.dtype).reshape(n_chunks, c)
+        sweep = sweep_pallas if opts.use_pallas else sweep_sequential
 
     def body(carry, _):
         obj_f, pupil = carry
-        if opts.mode == "batched" and not opts.use_pallas:
+        if opts.mode == "batched":
             obj_f, pupil, m = sweep(obj_f, pupil, amps_it, starts_it,
                                     support=support, opts=opts, mask=mask)
         else:

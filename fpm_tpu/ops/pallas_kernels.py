@@ -477,6 +477,297 @@ def _sweep_kernel(
     p_ref[1] = p_i + (d_r * vi + d_i * vr)
 
 
+# ------------------------------------------------------------------ chunked mode
+
+
+def _window_offsets(starts_ref, idx, lo):
+    """Decompose a patch start into aligned window offsets (ys0, dy, xs0, dx)."""
+    ys = starts_ref[2 * idx] + lo
+    xs = starts_ref[2 * idx + 1] + lo
+    ys0 = (ys // 8) * 8
+    xs0 = (xs // 128) * 128
+    return ys0, ys - ys0, xs0, xs - xs0
+
+
+def _batched_chunk_forward(
+    o_ref, p_r, p_i, amp2d, starts_ref, base, mats, *,
+    chunk: int, np_size: int, bbox: int, bbox_lo: int, win: int,
+    lane_blk: int, eps: float, dft_precision: str,
+):
+    """Forward pass of one Jacobi chunk, all LEDs batched onto the MXU.
+
+    The sequential kernel's four per-LED DFT matmuls are latency-bound (the
+    measured wall is ~6× their MXU time at mono shapes — a serialized chain
+    of small matmuls per LED). Here the whole chunk's LEDs are batched into
+    the free dimension of each block matmul (N or M = C·b ≈ 2048 at mono
+    chunk32 vs 64 per-LED), so the MXU runs full tiles; between the four
+    matmuls the per-LED (re, im) blocks are re-laid-out with static slices
+    (the flip between row-transform and column-transform layouts is inherent
+    to a two-sided transform with shared static operands).
+
+    Returns per-LED lists (offs, oc_r, oc_i, d_r, d_i) — the window offsets,
+    chunk-start sub-spectrum crops, and the amplitude-replacement residual
+    ``diff = Objfup − ObjfcropP`` — plus |img| planes for metrics.
+    """
+    n, b, lo = np_size, bbox, bbox_lo
+    c = chunk
+    np8 = _round_up(n, 8)
+    nl = _round_up(n, 128)
+    bl = _round_up(b, 128)
+    mm_left, mm_right, per = _mm_fns(dft_precision)
+    ms_li, ms_ri, ms_lf, ms_rf = (mats[i * per:(i + 1) * per] for i in range(4))
+
+    offs, oc_r, oc_i, ocp_r, ocp_i = [], [], [], [], []
+    for j in range(c):
+        ys0, dy, xs0, dx = _window_offsets(starts_ref, base + j, lo)
+        offs.append((ys0, dy, xs0, dx))
+        r = _read_window(o_ref, 0, ys0, dy, xs0, dx, b, win, lane_blk)
+        i_ = _read_window(o_ref, 1, ys0, dy, xs0, dx, b, win, lane_blk)
+        oc_r.append(r)
+        oc_i.append(i_)
+        ocp_r.append(r * p_r - i_ * p_i)
+        ocp_i.append(r * p_i + i_ * p_r)
+
+    # ifft rows: one (2·np8, 2b) @ (2b, C·b) matmul for the whole chunk
+    zs = jnp.concatenate(
+        [jnp.concatenate([ocp_r[j], ocp_i[j]], axis=0) for j in range(c)], axis=1
+    )                                                   # (2b, C·b)
+    t = mm_left(ms_li, zs)                              # (2·np8, C·b)
+    # ifft cols: per-LED (re | im) lane concat, LEDs stacked along rows
+    ts = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [t[0:np8, j * b:(j + 1) * b], t[np8:, j * b:(j + 1) * b]], axis=1
+            )
+            for j in range(c)
+        ],
+        axis=0,
+    )                                                   # (C·np8, 2b)
+    img2 = mm_right(ts, ms_ri)                          # (C·np8, 2·nl)
+    img_r = img2[:, 0:nl]
+    img_i = img2[:, nl:]
+
+    # amplitude replacement, whole chunk at once (fpmMain.cpp:377-394);
+    # eps on the real part only. Padded rows: img = 0, amp = 0 → rep = 0.
+    mag2 = (img_r + eps) ** 2 + img_i ** 2
+    scale = amp2d * jax.lax.rsqrt(mag2)
+    rep_r = img_r * scale
+    rep_i = img_i * scale
+
+    # fft rows
+    zs3 = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [rep_r[j * np8:(j + 1) * np8], rep_i[j * np8:(j + 1) * np8]],
+                axis=0,
+            )
+            for j in range(c)
+        ],
+        axis=1,
+    )                                                   # (2·np8, C·nl)
+    t2 = mm_left(ms_lf, zs3)                            # (2b, C·nl)
+    ts4 = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [t2[0:b, j * nl:(j + 1) * nl], t2[b:, j * nl:(j + 1) * nl]],
+                axis=1,
+            )
+            for j in range(c)
+        ],
+        axis=0,
+    )                                                   # (C·b, 2·nl)
+    up2 = mm_right(ts4, ms_rf)                          # (C·b, 2·bl)
+
+    d_r = [up2[j * b:(j + 1) * b, 0:b] - ocp_r[j] for j in range(c)]
+    d_i = [up2[j * b:(j + 1) * b, bl:bl + b] - ocp_i[j] for j in range(c)]
+    return offs, oc_r, oc_i, d_r, d_i, img_r, img_i
+
+
+def _chunked_kernel(
+    # scalar prefetch
+    starts_ref,
+    valid_ref,
+    # refs: amp2d, sup, *mats, o_in, p_in, o_out, p_out
+    *refs,
+    chunk: int, np_size: int, bbox: int, bbox_lo: int, win: int,
+    lane_blk: int, n_mats: int, delta1: float, delta2: float, eps: float,
+    pupil_step_scale: float, dft_precision: str,
+):
+    """One grid step = one Jacobi chunk, updates applied in place.
+
+    Semantics of ``models.epry.jacobi_chunk``: every LED's increment is
+    computed from the chunk-start (O, P); object increments are then
+    accumulated (window adds commute), ``max|O|`` is taken over the
+    *updated* spectrum (fpmMain.cpp:460,467 — jacobi_chunk computes it
+    post-update), and the pupil consensus adds the masked increment sum.
+    """
+    n, b = np_size, bbox
+    amp_ref, sup_ref = refs[0], refs[1]
+    mats = refs[2:2 + n_mats]
+    o_ref = refs[2 + n_mats + 2]   # aliased outputs (inputs at +0, +1)
+    p_ref = refs[2 + n_mats + 3]
+
+    k = pl.program_id(0)
+    base = k * chunk
+    p_r = p_ref[0]
+    p_i = p_ref[1]
+
+    offs, oc_r, oc_i, d_r, d_i, _, _ = _batched_chunk_forward(
+        o_ref, p_r, p_i, amp_ref[0], starts_ref, base, mats,
+        chunk=chunk, np_size=n, bbox=b, bbox_lo=bbox_lo, win=win,
+        lane_blk=lane_blk, eps=eps, dft_precision=dft_precision,
+    )
+
+    # --- object update from the chunk-start pupil (fpmMain.cpp:404-447)
+    pabs2 = p_r * p_r + p_i * p_i
+    pabs = jnp.sqrt(pabs2)
+    pmax = jnp.sqrt(jnp.max(pabs2))
+    recip_o = 1.0 / (pmax * (pabs2 + delta2))
+    wr = pabs * p_r * recip_o
+    wi = -pabs * p_i * recip_o
+    for j in range(chunk):
+        do_r = d_r[j] * wr - d_i[j] * wi
+        do_i = d_r[j] * wi + d_i[j] * wr
+
+        @pl.when(valid_ref[base + j] > 0)
+        def _add(do_r=do_r, do_i=do_i, off=offs[j]):
+            _window_add(o_ref, off[0], off[1], off[2], off[3],
+                        do_r, do_i, b, win, lane_blk)
+
+    # --- post-update global max|O| (one full fold per chunk; the padded
+    # border is exactly zero so it cannot win the max)
+    omax = jnp.sqrt(jnp.max(o_ref[0][...] ** 2 + o_ref[1][...] ** 2))
+
+    # --- pupil consensus: masked sum of per-LED EPRY increments
+    sup = sup_ref[...]
+    acc_r = jnp.zeros((b, b), jnp.float32)
+    acc_i = jnp.zeros((b, b), jnp.float32)
+    recip_max = 1.0 / omax
+    for j in range(chunk):
+        oabs2 = oc_r[j] * oc_r[j] + oc_i[j] * oc_i[j]
+        oabs = jnp.sqrt(oabs2)
+        recip_p = recip_max / (oabs2 + delta1)
+        vr = oabs * oc_r[j] * recip_p * sup
+        vi = -oabs * oc_i[j] * recip_p * sup
+        vm = valid_ref[base + j].astype(jnp.float32)
+        acc_r = acc_r + vm * (d_r[j] * vr - d_i[j] * vi)
+        acc_i = acc_i + vm * (d_r[j] * vi + d_i[j] * vr)
+    p_ref[0] = p_r + pupil_step_scale * acc_r
+    p_ref[1] = p_i + pupil_step_scale * acc_i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "np_size", "n_large", "delta1", "delta2", "eps", "interpret",
+        "dft_precision", "pupil_radius", "pupil_step_scale",
+    ),
+)
+def fused_epry_chunked(
+    o_planes,       # (2, Nlarge, Nlarge) f32, centered frame
+    p_planes,       # (2, Np, Np) f32, DC-at-corner frame (solver convention)
+    support,        # (Np, Np) f32, DC-at-corner frame
+    amps,           # (n_chunks, C, Np, Np) f32, chunk-permuted schedule order
+    starts_flat,    # (n_chunks·C·2,) int32: [y0, x0, y1, x1, ...]
+    valid,          # (n_chunks·C,) int32: 1 = real LED, 0 = padded dummy
+    *,
+    np_size: int,
+    n_large: int,
+    delta1: float,
+    delta2: float,
+    eps: float,
+    interpret: bool = False,
+    dft_precision: str = "bf16x3",
+    pupil_radius: int = 0,
+    pupil_step_scale: float = 1.0,
+):
+    """One chunked Gauss–Seidel-over-Jacobi sweep as a single Pallas kernel.
+
+    Numerically equivalent to ``models.epry.sweep_batched`` (the shardable
+    mode — the answer to the reference's unparallelizable per-LED loop,
+    fpmMain.cpp:348) up to f32/bf16x3 round-off; validated in
+    tests/test_pallas.py. grid = (n_chunks,): chunks run sequentially
+    (Gauss–Seidel), each chunk's LEDs batched onto the MXU (Jacobi), the
+    spectrum VMEM-resident across chunks via input/output aliasing. Metrics
+    are not collected in-kernel (same contract as :func:`fused_epry_sweep`).
+    """
+    if dft_precision not in ("bf16x3", "highest"):
+        raise ValueError(
+            f"dft_precision must be 'bf16x3' or 'highest', got {dft_precision!r}"
+        )
+    n_chunks, c = amps.shape[0], amps.shape[1]
+    n = np_size
+    b, lo = _support_bbox(n, pupil_radius)
+    np8 = _round_up(n, 8)
+    nl = _round_up(n, 128)
+    win = _round_up(b + 8, 8)
+    lane_blk = _round_up(b, 128) + 128
+    max_off = n_large - n + lo
+    lanes = max(_round_up(n_large, 128), (max_off // 128) * 128 + lane_blk)
+    rows_pad = max(_round_up(n_large, 8), (max_off // 8) * 8 + win)
+    f32 = jnp.float32
+
+    mats = [jnp.asarray(m) for m in _block_dft_mats(n, b, lo, dft_precision)]
+    n_mats = len(mats)
+
+    half = n // 2
+    bsel = min(b, n - lo)
+    pad_b = ((0, 0), (0, b - bsel), (0, b - bsel))
+    p_centered = jnp.pad(
+        jnp.roll(p_planes, (half, half), axis=(1, 2))[:, lo:lo + bsel, lo:lo + bsel],
+        pad_b,
+    )
+    sup_centered = jnp.pad(
+        jnp.roll(support, (half, half), axis=(0, 1))[lo:lo + bsel, lo:lo + bsel],
+        pad_b[1:],
+    )
+
+    o_padded = jnp.pad(
+        o_planes, ((0, 0), (0, rows_pad - n_large), (0, lanes - n_large))
+    )
+    # Per-chunk amplitude block, rows = LEDs stacked: (n_chunks, C·np8, nl).
+    amps_p = jnp.pad(
+        amps, ((0, 0), (0, 0), (0, np8 - n), (0, nl - n))
+    ).reshape(n_chunks, c * np8, nl)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, c * np8, nl), lambda i, s, v: (i, 0, 0)),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_mats + 2),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+    )
+
+    kernel = functools.partial(
+        _chunked_kernel, chunk=c, np_size=n, bbox=b, bbox_lo=lo, win=win,
+        lane_blk=lane_blk, n_mats=n_mats,
+        delta1=delta1, delta2=delta2, eps=eps,
+        pupil_step_scale=pupil_step_scale, dft_precision=dft_precision,
+    )
+    o_out, p_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, rows_pad, lanes), f32),
+            jax.ShapeDtypeStruct((2, b, b), f32),
+        ),
+        input_output_aliases={4 + n_mats: 0, 5 + n_mats: 1},  # o, p
+        interpret=interpret,
+    )(starts_flat, valid, amps_p, sup_centered, *mats, o_padded, p_centered)
+
+    p_full = jnp.zeros((2, n, n), f32)
+    p_full = jax.lax.dynamic_update_slice(
+        p_full, p_out[:, :bsel, :bsel], (0, lo, lo)
+    )
+    p_corner = jnp.roll(p_full, (-half, -half), axis=(1, 2))
+    return o_out[:, :n_large, :n_large], p_corner
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

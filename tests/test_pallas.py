@@ -77,7 +77,24 @@ def test_pallas_lazy_global_max_matches_xla_lazy(ds):
     assert rel_o < 1e-5
 
 
-def test_pallas_rejects_batched(ds):
-    with pytest.raises(ValueError, match="sequential"):
-        reconstruct(ds.images, ds.geom, ds.cfg, iterations=1, dtype="complex64",
-                    use_pallas=True, mode="batched")
+@pytest.mark.parametrize("np_size,chunk,prec,tol_o,tol_p", [
+    (16, 7, "highest", 1e-5, 1e-4),   # 25 LEDs / chunk 7 → 4 chunks, 3 dummies
+    (16, 8, "bf16x3", 5e-5, 5e-4),
+    (64, 6, "highest", 1e-5, 1e-4),   # bbox b < Np path
+    (16, 0, "highest", 1e-5, 1e-4),   # whole-sweep Jacobi (single chunk)
+])
+def test_chunked_pallas_matches_batched_xla(np_size, chunk, prec, tol_o, tol_p):
+    """fused_epry_chunked ≡ sweep_batched (the shardable mode) per chunk
+    config, incl. masked padding dummies and the pupil-support bbox."""
+    ds = synthetic_dataset(np_size=np_size, grid=5, seed=3)
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=2, dtype="complex64",
+                      mode="batched", chunk_size=chunk, collect_metrics=False)
+    got = reconstruct(ds.images, ds.geom, ds.cfg, iterations=2, dtype="complex64",
+                      mode="batched", chunk_size=chunk, use_pallas=True,
+                      dft_precision=prec)
+    rel_o = np.abs(got.obj_f_centered - ref.obj_f_centered).max() / (
+        np.abs(ref.obj_f_centered).max()
+    )
+    rel_p = np.abs(got.pupil - ref.pupil).max() / np.abs(ref.pupil).max()
+    assert rel_o < tol_o
+    assert rel_p < tol_p
