@@ -768,6 +768,221 @@ def fused_epry_chunked(
     return o_out[:, :n_large, :n_large], p_corner
 
 
+def _chunk_inc_kernel(
+    # scalar prefetch
+    starts_ref,
+    valid_ref,
+    # refs: amp2d, sup, *mats, o_block, d_out, v_out, mets_out
+    *refs,
+    chunk: int, np_size: int, bbox: int, bbox_lo: int, win: int,
+    lane_blk: int, n_mats: int, delta1: float, delta2: float, eps: float,
+    dft_precision: str, collect_metrics: bool,
+):
+    """Increment mode: one Jacobi chunk's *local* increments, nothing applied.
+
+    The per-device body of the sharded sweeps (parallel/led_shard.py,
+    tile_shard.py): collectives (object psum, global-max pmax, pupil
+    consensus) must happen *between* computing increments and applying them,
+    so this kernel only computes this device's contributions from the
+    chunk-start state:
+
+    * ``d_out``   — object-spectrum increments window-added into a zeroed
+      block (same shape as the input spectrum block),
+    * ``v_out``   — the pupil EPRY numerator sum
+      ``Σ_j m_j · diff_j · |Oc_j|·conj(Oc_j) · support / (|Oc_j|² + delta1)``
+      — everything except the 1/max|O| factor, which the caller applies
+      after the object consensus (a scalar divide commutes with psum),
+    * ``mets_out`` — (data-residual, update-norm) partial sums.
+    """
+    n, b = np_size, bbox
+    # Ref layout: amp2d, sup, pupil (input-only here), *mats, o_block,
+    # then the outputs d, v, mets.
+    amp_ref, sup_ref, pup_ref = refs[0], refs[1], refs[2]
+    mats = refs[3:3 + n_mats]
+    o_ref = refs[3 + n_mats]
+    d_ref = refs[3 + n_mats + 1]
+    v_ref = refs[3 + n_mats + 2]
+    mets_ref = refs[3 + n_mats + 3]
+    p_r = pup_ref[0]
+    p_i = pup_ref[1]
+
+    offs, oc_r, oc_i, d_r, d_i, img_r, img_i = _batched_chunk_forward(
+        o_ref, p_r, p_i, amp_ref[...], starts_ref, 0, mats,
+        chunk=chunk, np_size=n, bbox=b, bbox_lo=bbox_lo, win=win,
+        lane_blk=lane_blk, eps=eps, dft_precision=dft_precision,
+    )
+
+    d_ref[...] = jnp.zeros_like(d_ref)
+
+    pabs2 = p_r * p_r + p_i * p_i
+    pabs = jnp.sqrt(pabs2)
+    pmax = jnp.sqrt(jnp.max(pabs2))
+    recip_o = 1.0 / (pmax * (pabs2 + delta2))
+    wr = pabs * p_r * recip_o
+    wi = -pabs * p_i * recip_o
+    upd = jnp.zeros((), jnp.float32)
+    for j in range(chunk):
+        do_r = d_r[j] * wr - d_i[j] * wi
+        do_i = d_r[j] * wi + d_i[j] * wr
+        if collect_metrics:
+            vm = valid_ref[j].astype(jnp.float32)
+            upd = upd + vm * jnp.sum(do_r * do_r + do_i * do_i)
+
+        @pl.when(valid_ref[j] > 0)
+        def _add(do_r=do_r, do_i=do_i, off=offs[j]):
+            _window_add(d_ref, off[0], off[1], off[2], off[3],
+                        do_r, do_i, b, win, lane_blk)
+
+    sup = sup_ref[...]
+    acc_r = jnp.zeros((b, b), jnp.float32)
+    acc_i = jnp.zeros((b, b), jnp.float32)
+    for j in range(chunk):
+        oabs2 = oc_r[j] * oc_r[j] + oc_i[j] * oc_i[j]
+        oabs = jnp.sqrt(oabs2)
+        recip_p = 1.0 / (oabs2 + delta1)
+        vr = oabs * oc_r[j] * recip_p * sup
+        vi = -oabs * oc_i[j] * recip_p * sup
+        vm = valid_ref[j].astype(jnp.float32)
+        acc_r = acc_r + vm * (d_r[j] * vr - d_i[j] * vi)
+        acc_i = acc_i + vm * (d_r[j] * vi + d_i[j] * vr)
+    v_ref[0] = acc_r
+    v_ref[1] = acc_i
+
+    if collect_metrics:
+        # data residual Σ m·(A − |img|)², rows grouped per LED
+        np8 = _round_up(n, 8)
+        absimg = jnp.sqrt(img_r * img_r + img_i * img_i)
+        amp2d = amp_ref[...]
+        resid = jnp.zeros((), jnp.float32)
+        for j in range(chunk):
+            rows = slice(j * np8, (j + 1) * np8)
+            vm = valid_ref[j].astype(jnp.float32)
+            term = amp2d[rows, :] - absimg[rows, :]
+            resid = resid + vm * jnp.sum(term * term)
+        mets_ref[0] = resid
+        mets_ref[1] = upd
+    else:
+        mets_ref[0] = jnp.zeros((), jnp.float32)
+        mets_ref[1] = upd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "np_size", "n_rows", "n_cols", "delta1", "delta2", "eps", "interpret",
+        "dft_precision", "pupil_radius", "collect_metrics", "vma",
+    ),
+)
+def fused_chunk_increments(
+    o_planes,       # (2, R, Ncols) f32: this device's spectrum block, centered frame
+    p_planes,       # (2, Np, Np) f32, DC-at-corner frame
+    support,        # (Np, Np) f32, DC-at-corner frame
+    amps,           # (C, Np, Np) f32: this device's chunk slice
+    starts_flat,    # (2C,) int32 patch starts, relative to the block
+    valid,          # (C,) int32
+    *,
+    np_size: int,
+    n_rows: int,
+    n_cols: int,
+    delta1: float,
+    delta2: float,
+    eps: float,
+    interpret: bool = False,
+    dft_precision: str = "bf16x3",
+    pupil_radius: int = 0,
+    collect_metrics: bool = True,
+    vma: tuple = (),
+):
+    """One Jacobi chunk's local increments (the sharded per-device body).
+
+    ``vma`` declares which mesh axes the outputs vary over when called
+    under ``jax.shard_map`` (shard_map's vma checking requires explicit
+    output annotations for custom calls): the union of the operands'
+    varying axes — ``("led",)`` for the replicated-spectrum body,
+    ``("led", "tile")`` for the halo-extended tile body.
+
+    Returns ``(d_planes, v_planes, mets)``: object increments (same block
+    shape as ``o_planes``), the pupil numerator sum in the solver's
+    DC-at-corner frame (divide by the post-consensus ``max|O|`` and psum —
+    scalar divide commutes with psum), and (residual, update-norm) partials.
+    Generic over the block row count so it serves both the replicated
+    spectrum (parallel/led_shard.py) and the halo-extended tile block
+    (parallel/tile_shard.py).
+    """
+    if dft_precision not in ("bf16x3", "highest"):
+        raise ValueError(
+            f"dft_precision must be 'bf16x3' or 'highest', got {dft_precision!r}"
+        )
+    c = amps.shape[0]
+    n = np_size
+    b, lo = _support_bbox(n, pupil_radius)
+    np8 = _round_up(n, 8)
+    nl = _round_up(n, 128)
+    win = _round_up(b + 8, 8)
+    lane_blk = _round_up(b, 128) + 128
+    max_off = n_rows - n + lo
+    lanes = max(_round_up(n_cols, 128), (max_off // 128) * 128 + lane_blk)
+    rows_pad = max(_round_up(n_rows, 8), (max_off // 8) * 8 + win)
+    f32 = jnp.float32
+
+    mats = [jnp.asarray(m) for m in _block_dft_mats(n, b, lo, dft_precision)]
+    n_mats = len(mats)
+
+    half = n // 2
+    bsel = min(b, n - lo)
+    pad_b = ((0, 0), (0, b - bsel), (0, b - bsel))
+    p_centered = jnp.pad(
+        jnp.roll(p_planes, (half, half), axis=(1, 2))[:, lo:lo + bsel, lo:lo + bsel],
+        pad_b,
+    )
+    sup_centered = jnp.pad(
+        jnp.roll(support, (half, half), axis=(0, 1))[lo:lo + bsel, lo:lo + bsel],
+        pad_b[1:],
+    )
+
+    o_padded = jnp.pad(
+        o_planes, ((0, 0), (0, rows_pad - n_rows), (0, lanes - n_cols))
+    )
+    amps_p = jnp.pad(
+        amps, ((0, 0), (0, np8 - n), (0, nl - n))
+    ).reshape(c * np8, nl)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + n_mats + 1),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )
+    kernel = functools.partial(
+        _chunk_inc_kernel, chunk=c, np_size=n, bbox=b, bbox_lo=lo, win=win,
+        lane_blk=lane_blk, n_mats=n_mats,
+        delta1=delta1, delta2=delta2, eps=eps,
+        dft_precision=dft_precision, collect_metrics=collect_metrics,
+    )
+    sd_kw = {"vma": frozenset(vma)} if vma else {}
+    d_out, v_out, mets = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, rows_pad, lanes), f32, **sd_kw),
+            jax.ShapeDtypeStruct((2, b, b), f32, **sd_kw),
+            jax.ShapeDtypeStruct((2,), f32, **sd_kw),
+        ),
+        interpret=interpret,
+    )(starts_flat, valid, amps_p, sup_centered, p_centered, *mats, o_padded)
+
+    v_full = jnp.zeros((2, n, n), f32)
+    v_full = jax.lax.dynamic_update_slice(
+        v_full, v_out[:, :bsel, :bsel], (0, lo, lo)
+    )
+    v_corner = jnp.roll(v_full, (-half, -half), axis=(1, 2))
+    return d_out[:, :n_rows, :n_cols], v_corner, mets
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -43,12 +43,60 @@ from ..ops import crop_patch, fft2, fftshift2d, ifft2, ifftshift2d, paste_patch_
 from .mesh import make_mesh
 
 
+def _sharded_chunk_pallas(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
+    """Pallas-routed per-device chunk body (ops/pallas_kernels.py).
+
+    ``fused_chunk_increments`` computes this device's object increments and
+    the pupil EPRY numerator in one fused kernel (the chunk's LEDs batched
+    onto the MXU); the collectives stay out here exactly as in the XLA body:
+    object consensus psum → post-update global max|O| → pupil consensus
+    (the kernel's ``v`` omits the 1/max|O| factor, which commutes with
+    psum). f32 kernel arithmetic — opt-in for TPU scaling runs; the f64
+    parity path is the XLA body below.
+    """
+    import jax as _jax
+
+    from ..ops.pallas_kernels import fused_chunk_increments
+
+    o_planes = jnp.stack([jnp.real(obj_f), jnp.imag(obj_f)]).astype(jnp.float32)
+    p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
+    support_r = jnp.real(support).astype(jnp.float32)
+    d, v, mets = fused_chunk_increments(
+        o_planes, p_planes, support_r,
+        amps.astype(jnp.float32),
+        starts.reshape(-1).astype(jnp.int32),
+        (mask > 0).astype(jnp.int32),
+        np_size=opts.np_size,
+        n_rows=obj_f.shape[0], n_cols=obj_f.shape[1],
+        delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
+        interpret=_jax.default_backend() != "tpu",
+        dft_precision=opts.dft_precision,
+        pupil_radius=opts.pupil_radius,
+        collect_metrics=opts.collect_metrics,
+        vma=("led",),
+    )
+    d = jax.lax.psum(d, "led")
+    obj_f = obj_f + (d[0] + 1j * d[1]).astype(obj_f.dtype)
+    omax = jnp.max(jnp.abs(obj_f))
+
+    v = jax.lax.psum(v, "led")
+    d_pupil_sum = (v[0] + 1j * v[1]).astype(pupil.dtype) / omax
+    pupil = pupil + opts.pupil_step_scale * d_pupil_sum
+
+    rdt = jnp.abs(obj_f).dtype
+    mets = jax.lax.psum(mets.astype(rdt), "led")
+    return obj_f, pupil, mets
+
+
 def _sharded_chunk(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
     """Per-device body of one Jacobi chunk (runs under shard_map).
 
     ``amps``/``starts``/``mask`` hold this device's slice of the chunk;
     ``obj_f``, ``pupil``, ``support`` are replicated.
     """
+    if opts.use_pallas:
+        return _sharded_chunk_pallas(obj_f, pupil, support, amps, starts, mask,
+                                     opts=opts)
     np_sz = opts.np_size
     m = mask[:, None, None]
 
@@ -111,11 +159,17 @@ def _sharded_sweep(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptio
     donate_argnames=("obj_f", "pupil"),
 )
 def _run_led_sharded(obj_f, pupil, support, amps, starts, mask, opts: EPRYOptions, mesh: Mesh):
+    # check_vma must be off for the Pallas route: jax's pallas HLO
+    # interpreter (the CPU test path) internally mixes varying and
+    # replicated operands in a dynamic_slice, which the vma checker
+    # rejects (jax suggests check_vma=False as the workaround). The XLA
+    # body keeps full vma checking.
     sweep = jax.shard_map(
         functools.partial(_sharded_sweep, opts=opts),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(None, "led"), P(None, "led"), P(None, "led")),
         out_specs=(P(), P(), P()),
+        check_vma=not opts.use_pallas,
     )
 
     def body(carry, _):

@@ -114,6 +114,58 @@ def partition_leds_by_tile(
     return idx, s
 
 
+def _tile_chunk_pallas_tail(obj_f_local, ext, pupil, support, amps, starts_rel,
+                            mask, *, opts, s, n_tile):
+    """Pallas-routed tail of one tile-sharded chunk (after the forward halo).
+
+    ``fused_chunk_increments`` runs on the halo-extended block; the reverse
+    halo, consensus psums, and the tile-axis ``pmax`` stay out here exactly
+    as in the XLA body (the kernel's ``v`` omits the 1/max|O| factor, which
+    commutes with psum). f32 kernel arithmetic — opt-in for TPU scaling
+    runs; the f64 parity path is the XLA body in :func:`_tile_chunk`.
+    """
+    import jax as _jax
+
+    from ..ops.pallas_kernels import fused_chunk_increments
+
+    np_sz = opts.np_size
+    o_planes = jnp.stack([jnp.real(ext), jnp.imag(ext)]).astype(jnp.float32)
+    p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
+    support_r = jnp.real(support).astype(jnp.float32)
+    d, v, mets = fused_chunk_increments(
+        o_planes, p_planes, support_r,
+        amps.astype(jnp.float32),
+        starts_rel.reshape(-1).astype(jnp.int32),
+        (mask > 0).astype(jnp.int32),
+        np_size=np_sz,
+        n_rows=ext.shape[0], n_cols=ext.shape[1],
+        delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
+        interpret=_jax.default_backend() != "tpu",
+        dft_precision=opts.dft_precision,
+        pupil_radius=opts.pupil_radius,
+        collect_metrics=opts.collect_metrics,
+        vma=("led", "tile"),
+    )
+    d = jax.lax.psum(d, "led")
+    d_ext = (d[0] + 1j * d[1]).astype(ext.dtype)
+
+    # reverse halo: increments in my halo rows belong to the next tile
+    bwd = [(i, (i + 1) % n_tile) for i in range(n_tile)]
+    halo_back = jax.lax.ppermute(d_ext[s:], "tile", perm=bwd)
+    d_local = d_ext[:s].at[:np_sz].add(halo_back)
+    obj_f_local = obj_f_local + d_local
+
+    omax = jax.lax.pmax(jnp.max(jnp.abs(obj_f_local)), "tile")
+
+    v = jax.lax.psum(v, ("led", "tile"))
+    d_pupil_sum = (v[0] + 1j * v[1]).astype(pupil.dtype) / omax
+    pupil = pupil + opts.pupil_step_scale * d_pupil_sum
+
+    rdt = jnp.abs(obj_f_local).dtype
+    mets = jax.lax.psum(mets.astype(rdt), ("led", "tile"))
+    return obj_f_local, pupil, mets
+
+
 def _tile_chunk(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s, n_tile):
     """One Jacobi chunk on the row-sharded spectrum (under shard_map).
 
@@ -129,6 +181,12 @@ def _tile_chunk(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s,
     fwd = [((i + 1) % n_tile, i) for i in range(n_tile)]
     halo = jax.lax.ppermute(obj_f_local[:np_sz], "tile", perm=fwd)
     ext = jnp.concatenate([obj_f_local, halo], axis=0)  # (S+Np, Nlarge)
+
+    if opts.use_pallas:
+        return _tile_chunk_pallas_tail(
+            obj_f_local, ext, pupil, support, amps, starts_rel, mask,
+            opts=opts, s=s, n_tile=n_tile,
+        )
 
     patches = jax.vmap(
         lambda st: jax.lax.dynamic_slice(ext, (st[0], st[1]), (np_sz, np_sz))
@@ -212,6 +270,7 @@ def _run_tile_sharded(obj_f, pupil, support, amps, starts_rel, mask, opts, mesh,
             P(None, "led", "tile"),
         ),
         out_specs=(P("tile", None), P(), P()),
+        check_vma=not opts.use_pallas,  # see parallel/led_shard.py
     )
 
     def body(carry, _):

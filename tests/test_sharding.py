@@ -100,6 +100,40 @@ def test_tile_sharded_chunked_matches_single_device(ds):
     assert _rel(got.pupil, ref.pupil) < 1e-10
 
 
+def test_led_sharded_pallas_matches_xla(ds):
+    """Pallas-routed per-device chunk body (fused_chunk_increments) ≡ the
+    XLA body — same collectives, kernel f32 → f32-level tolerance."""
+    mesh = make_mesh(led=8, tile=1)
+    ref = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                  iterations=3, dtype="complex64",
+                                  chunk_size=8)
+    got = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                  iterations=3, dtype="complex64",
+                                  chunk_size=8, use_pallas=True,
+                                  dft_precision="highest")
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-5
+    assert _rel(got.pupil, ref.pupil) < 1e-4
+    for k in ("data_residual", "update_norm"):
+        np.testing.assert_allclose(got.metrics[k], ref.metrics[k], rtol=1e-3)
+
+
+def test_tile_sharded_pallas_matches_xla(ds):
+    """Pallas chunk body on the halo-extended tile block ≡ the XLA body,
+    on a combined (led, tile) mesh."""
+    mesh = make_mesh(led=2, tile=3, devices=jax.devices()[:6])
+    ref = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                   iterations=3, dtype="complex64",
+                                   chunk_size=8)
+    got = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                   iterations=3, dtype="complex64",
+                                   chunk_size=8, use_pallas=True,
+                                   dft_precision="highest")
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-5
+    assert _rel(got.pupil, ref.pupil) < 1e-4
+    for k in ("data_residual", "update_norm"):
+        np.testing.assert_allclose(got.metrics[k], ref.metrics[k], rtol=1e-3)
+
+
 def test_sharded_converges_to_truth(ds):
     mesh = make_mesh(led=4, tile=2)
     res = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
