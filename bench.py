@@ -3,8 +3,18 @@
 Workload: the mono-dataset-equivalent problem — Np=90 patches, Nlarge=360
 spectrum, the built-in 508-LED dome filtered at maxIlluminationNA=0.45
 (≈193 LEDs; the reference's profiled run processed ~156, BASELINE.md) —
-synthetic frames, sequential Gauss–Seidel parity mode (the reference's exact
-algorithm, fpmMain.cpp:345-482).
+synthetic frames, one full sweep over every LED per iteration.
+
+Headline mode: the chunked Gauss–Seidel-over-Jacobi sweep (chunk 32,
+strided) through the fused Pallas chunk kernel — the *shardable* mode
+(SURVEY.md N1; the answer to the reference's unparallelizable per-LED loop,
+fpmMain.cpp:348), which is also the fastest single-chip mode: each chunk's
+32 LEDs are batched onto the MXU. Convergence parity of this mode vs the
+sequential reference algorithm is established in benchmarks/convergence.py
+(matches or beats sequential RMSE within ~2 extra sweeps); bit-level parity
+of the sequential mode vs the float64 oracle is tests/test_solver_parity.py.
+The exact sequential mode's throughput is recorded alongside in
+benchmarks/results_secondary.json.
 
 Baseline: the reference has no recorded wall-clock numbers (BASELINE.md), so
 ``vs_baseline`` is measured against this machine's CPU run of the
@@ -19,19 +29,20 @@ the round recorded no number):
 * stdout carries exactly ONE JSON line — the headline metric — printed and
   flushed as soon as it is measured; everything else (secondary mode
   comparisons) goes to stderr and benchmarks/results_secondary.json.
+* Each mode costs two compiled programs (the two ladder points; a distinct
+  program is ~60-120 s of remote TPU compile on this rig). A dynamic-count
+  fori_loop variant that shares one compile was measured and rejected: the
+  while loop adds ~58 µs/sweep and compiles ~4× slower.
 * A persistent XLA compilation cache (.jax_cache/, committed) makes the
-  driver's run hit warm compiles for every program this file builds.
-  Measured on this rig: cold ≈ 5-8 min (each distinct program pays a
-  ~60-120 s remote TPU compile over the tunnel), warm ≈ 53 s. CAVEAT: the
-  jax cache key hashes the module *with MLIR source locations*, so editing
-  any file on the traced path (this file, fpm_tpu/models/epry.py, ...)
-  shifts line numbers and invalidates the cache — the cache must be
-  re-primed (delete .jax_cache, run bench.py once) and re-committed after
-  any such edit. Verified empirically: identical programs traced from
-  scripts differing only in line numbers produce different keys; re-runs
-  of the same file hit.
-* The timing ladder is small (lo=5, hi=30 sweeps, 4 reps) and the secondary
-  section is skipped entirely once a wall-clock budget is spent.
+  driver's run hit warm compiles. Measured: cold ≈ 2-6 min, warm < 1 min.
+  CAVEAT: the jax cache key hashes the module *with MLIR source locations*,
+  so editing any file on the traced path (this file, fpm_tpu/models/epry.py,
+  fpm_tpu/ops/*.py, ...) shifts line numbers and invalidates the cache — the
+  cache must be re-primed (delete .jax_cache, run bench.py once) and
+  re-committed after any such edit. Verified empirically: identical programs
+  traced from scripts differing only in line numbers produce different keys;
+  re-runs of the same file hit.
+* The secondary section is skipped once a wall-clock budget is spent.
 
 Prints one JSON line:
   {"metric": "led_frames_per_s_per_chip_per_iter", "value": N,
@@ -76,15 +87,15 @@ def make_problem():
     return cfg, geom, images
 
 
-def bench_tpu(cfg, geom, images, reps=4, lo=5, hi=30, **solver_kwargs):
+def bench_tpu(cfg, geom, images, reps=4, lo=10, hi=110, **solver_kwargs):
     """Steady-state device LED-frames/s of the jitted solver.
 
     Methodology (this rig's TPU is reached through a tunnel with two
     non-device costs that must be excluded):
 
-    * Inputs are placed on device ONCE and the pre-jitted ``_run_jit`` is
-      timed directly — ``reconstruct``'s host↔device transfers are tens of
-      ms with high variance over the tunnel and would swamp the solve.
+    * Inputs are placed on device ONCE and the pre-jitted dynamic-count
+      program is timed directly — host↔device transfers are tens of ms
+      with high variance over the tunnel and would swamp the solve.
     * ``block_until_ready`` does NOT block over this tunnel (verified: 110
       sweeps "complete" in 0.1 ms); completion is forced by fetching a
       scalar reduction of the small pupil output.
@@ -150,16 +161,21 @@ def bench_oracle(cfg, geom, images):
     return fps
 
 
-def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius):
+def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius, n_slots):
     """Counted vs executed MXU FLOPs (honest accounting, VERDICT r2 weak #3).
 
-    * ``counted`` — the naive full-patch matmul-DFT count: 2 DFTs × 2
-      complex matmuls × 4 real (Np,Np)@(Np,Np) products = 32·Np³ per LED.
-    * ``executed`` — what the fused kernel actually contracts: the stacked
-      block-complex form does 4 real matmuls per LED over the pupil-support
-      bbox b (ops/pallas_kernels.py block shapes: L_inv (2·np8,2b)@(2b,b),
-      R_inv (np8,2b)@(2b,2nl), L_fwd (2b,2·np8)@(2·np8,nl),
-      R_fwd (b,2·nl)@(2·nl,2·bl)), each costing 2·M·K·N FLOPs.
+    * ``counted`` — the naive full-patch matmul-DFT count over the K *real*
+      LEDs: 2 DFTs × 2 complex matmuls × 4 real (Np,Np)@(Np,Np) products =
+      32·Np³ per LED.
+    * ``executed`` — what the fused kernel actually contracts, over all
+      ``n_slots`` schedule slots (chunk padding dummies included — the
+      hardware runs them): the stacked block-complex form does 4 real
+      matmuls per LED over the pupil-support bbox b (per-LED tile volumes
+      identical in the sequential and chunked kernels): L_inv
+      (2·np8,2b)@(2b,b), R_inv (np8,2b)@(2b,2nl), L_fwd (2b,2·np8)@(2·np8,nl),
+      R_fwd (b,2·nl)@(2·nl,2·bl), each costing 2·M·K·N FLOPs.
+    * bf16x3 runs 3 bf16 MXU passes per executed f32 FLOP;
+      ``mxu_utilization_executed`` divides by the v5e bf16 peak (197 TF/s).
     """
     from fpm_tpu.ops.pallas_kernels import _round_up, _support_bbox
 
@@ -175,14 +191,14 @@ def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius):
         + b * (2 * nl) * (2 * bl)        # R_fwd
     )
     counted = 32 * n**3 * k
-    executed = executed_per_led * k
+    executed = executed_per_led * n_slots
     return {
         "counted_full_patch_tflops": round(counted / sec_per_iter / 1e12, 2),
         "executed_bbox_tflops": round(executed / sec_per_iter / 1e12, 2),
-        # bf16x3 runs 3 bf16 MXU FLOPs per counted f32 FLOP.
         "executed_bf16_mxu_tflops": round(3 * executed / sec_per_iter / 1e12, 2),
         "effective_vs_full_patch": round(counted / sec_per_iter / (197e12 / 3), 3),
         "mxu_utilization_executed": round(3 * executed / sec_per_iter / 197e12, 3),
+        "schedule_slots_per_sweep": n_slots,
     }
 
 
@@ -196,22 +212,32 @@ def main():
 
     cfg, geom, images = make_problem()
     on_tpu = jax.default_backend() == "tpu"
+    chunk = 32
 
-    # ----- headline: fused Pallas sweep — exact sequential Gauss–Seidel
-    # semantics, spectrum VMEM-resident, bf16x3 DFT matmuls (~1e-6 relative
-    # error vs the float64 oracle; dft_precision='highest' is the exact-f32
-    # option at lower throughput).
+    # ----- headline: the chunked-batched fused-Pallas sweep — the shardable
+    # mode (chunk32 strided: the measured convergence-stability sweet spot,
+    # models/epry.py docstring), each chunk's LEDs batched onto the MXU.
     if on_tpu:
         fps, sec_per_iter = bench_tpu(
-            cfg, geom, images, use_pallas=True, collect_metrics=False
+            cfg, geom, images, mode="batched", chunk_size=chunk,
+            use_pallas=True, collect_metrics=False,
         )
     else:
         fps, sec_per_iter = bench_tpu(cfg, geom, images, lo=2, hi=10, reps=2)
     base = bench_oracle(cfg, geom, images)
 
     from fpm_tpu.geometry import pupil_radius
+    from fpm_tpu.models.epry import chunk_schedule
 
-    flops = _flop_accounting(cfg, geom, sec_per_iter, pupil_radius(cfg)) if on_tpu else {}
+    if on_tpu:
+        _perm, _mask, n_chunks = chunk_schedule(int(geom.num_leds), chunk, "strided")
+        flops = _flop_accounting(
+            cfg, geom, sec_per_iter, pupil_radius(cfg), _perm.size
+        )
+        mode = f"batched(chunk{chunk}-strided, fused-pallas, bf16x3-dft)"
+    else:
+        flops = {}
+        mode = "sequential(exact)"
     headline = {
         "metric": "led_frames_per_s_per_chip_per_iter",
         "value": round(fps, 2),
@@ -223,7 +249,7 @@ def main():
         "np_size": cfg.np_size,
         "n_large": cfg.n_large,
         **flops,
-        "mode": "sequential(fused-pallas, bf16x3-dft)" if on_tpu else "sequential(exact)",
+        "mode": mode,
         "backend": jax.default_backend(),
     }
     print(json.dumps(headline), flush=True)
@@ -233,14 +259,15 @@ def main():
         return
     secondary = {"headline": headline}
     for name, kwargs in (
-        ("xla_sequential", {}),
-        ("batched_chunk32_pallas", dict(mode="batched", chunk_size=32, use_pallas=True,
-                                        collect_metrics=False)),
-        ("batched_chunk32_xla", dict(mode="batched", chunk_size=32)),
+        ("sequential_pallas", dict(use_pallas=True, collect_metrics=False,
+                                   lo=5, hi=30)),
+        ("xla_sequential", dict(lo=5, hi=30)),
+        (f"batched_chunk{chunk}_xla", dict(mode="batched", chunk_size=chunk,
+                                           lo=5, hi=30)),
     ):
         if time.time() - _T0 > TIME_BUDGET_S:
             _log(f"bench: budget spent, skipping {name}")
-            break
+            continue
         try:
             f, s = bench_tpu(cfg, geom, images, **kwargs)
             secondary[name] = {"led_frames_per_s": round(f, 2),

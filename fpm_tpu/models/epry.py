@@ -452,8 +452,31 @@ def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, u
     else:
         obj_f, pupil = init_traced(amps, support_r, opts)
 
+    sweep_once = _make_sweep_fn(amps, starts, support, support_r, opts)
+
+    def body(carry, _):
+        obj_f, pupil = carry
+        obj_f, pupil, m = sweep_once(obj_f, pupil)
+        return (obj_f, pupil), m
+
+    (obj_f, pupil), metrics = jax.lax.scan(
+        body, (obj_f, pupil), None, length=opts.iterations
+    )
+    # Per-iteration inverse transform of the full spectrum (fpmMain.cpp:481);
+    # only the final one is observable, so compute it once.
+    obj_crop = ifft2(ifftshift2d(obj_f))
+    return _planes(obj_f), _planes(pupil), _planes(obj_crop), metrics
+
+
+def _make_sweep_fn(amps, starts, support, support_r, opts: EPRYOptions):
+    """Mode dispatch + the batched mode's hoisted static chunk permutation.
+
+    Returns ``sweep_once(obj_f, pupil) -> (obj_f, pupil, metrics)`` closed
+    over the (possibly pre-chunked) schedule arrays, shared by the
+    static-iteration program (:func:`_run_jit`) and the dynamic-count
+    benchmark program (:func:`_run_sweeps_dynamic_jit`).
+    """
     if opts.mode == "batched":
-        # Hoist the static chunk permutation out of the iteration loop.
         k = amps.shape[0]
         perm, mask_np, n_chunks = chunk_schedule(k, opts.chunk_size, opts.chunk_assign)
         pad = perm.size - k
@@ -466,25 +489,26 @@ def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, u
         starts_it = s[perm].reshape(n_chunks, c, 2)
         mask = jnp.asarray(mask_np, support_r.dtype).reshape(n_chunks, c)
         sweep = sweep_batched_pallas if opts.use_pallas else sweep_batched
-    else:
-        sweep = sweep_pallas if opts.use_pallas else sweep_sequential
 
-    def body(carry, _):
-        obj_f, pupil = carry
-        if opts.mode == "batched":
-            obj_f, pupil, m = sweep(obj_f, pupil, amps_it, starts_it,
-                                    support=support, opts=opts, mask=mask)
-        else:
-            obj_f, pupil, m = sweep(obj_f, pupil, amps, starts, support=support, opts=opts)
-        return (obj_f, pupil), m
+        def sweep_once(obj_f, pupil):
+            return sweep(obj_f, pupil, amps_it, starts_it,
+                         support=support, opts=opts, mask=mask)
 
-    (obj_f, pupil), metrics = jax.lax.scan(
-        body, (obj_f, pupil), None, length=opts.iterations
-    )
-    # Per-iteration inverse transform of the full spectrum (fpmMain.cpp:481);
-    # only the final one is observable, so compute it once.
-    obj_crop = ifft2(ifftshift2d(obj_f))
-    return _planes(obj_f), _planes(pupil), _planes(obj_crop), metrics
+        return sweep_once
+
+    sweep = sweep_pallas if opts.use_pallas else sweep_sequential
+
+    def sweep_once(obj_f, pupil):
+        return sweep(obj_f, pupil, amps, starts, support=support, opts=opts)
+
+    return sweep_once
+
+
+# NOTE: a dynamic-trip-count benchmark variant (fori_loop over sweeps) was
+# measured and rejected: the while loop adds ~58 µs per sweep on this chip
+# (+52% on the chunked kernel's 111 µs sweeps) and its remote compile takes
+# ~4× longer than two static-length programs. bench.py uses _run_jit with a
+# static two-point iteration ladder instead.
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "led_index"))
