@@ -12,6 +12,7 @@ fpmMain.cpp:467, ppermute halos).
 from .mesh import make_mesh, mesh_shape_for  # noqa: F401
 from .led_shard import prepare_led_sharded, reconstruct_led_sharded  # noqa: F401
 from .tile_shard import prepare_tile_sharded, reconstruct_tile_sharded  # noqa: F401
+from .roi_shard import make_roi_mesh, reconstruct_large_fov_sharded  # noqa: F401
 from .comm import (  # noqa: F401
     hlo_collective_inventory,
     led_shard_comm,

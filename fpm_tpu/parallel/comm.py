@@ -93,24 +93,37 @@ def tile_shard_comm(
     k: int,
     n_led: int,
     n_tile: int,
+    chunk_size: int = 0,
     dtype_bytes: int = 8,
 ) -> dict:
-    """Collectives one tile-sharded sweep issues (parallel/tile_shard.py)."""
+    """Collectives one tile-sharded sweep issues (parallel/tile_shard.py).
+
+    Mirrors ``partition_leds_by_tile``'s chunking: ``ceil(K/chunk_size)``
+    chunks per sweep (``chunk_size=0`` = one whole-sweep chunk), and *every*
+    collective below — forward halo, object consensus, reverse halo, the
+    global-max pmax, pupil consensus, metrics — is issued once per chunk
+    (the ``lax.scan`` body in ``_tile_sweep``), not once per sweep.
+    """
     s = n_large // n_tile
+    c = chunk_size if chunk_size > 0 else k
+    n_chunks = -(-k // c)
     scalar = 4
     halo = np_size * n_large * dtype_bytes
     cols = [
-        Collective("ppermute", "tile", halo, 1, "forward halo (next tile's top Np rows)"),
-        Collective("psum", "led", (s + np_size) * n_large * dtype_bytes, 1,
+        Collective("ppermute", "tile", halo, n_chunks,
+                   "forward halo (next tile's top Np rows)"),
+        Collective("psum", "led", (s + np_size) * n_large * dtype_bytes, n_chunks,
                    "extended-block object increment consensus"),
-        Collective("ppermute", "tile", halo, 1, "reverse halo (increments in halo rows)"),
-        Collective("pmax", "tile", scalar, 1,
+        Collective("ppermute", "tile", halo, n_chunks,
+                   "reverse halo (increments in halo rows)"),
+        Collective("pmax", "tile", scalar, n_chunks,
                    "global max|O| (the reference's cv::minMaxLoc, fpmMain.cpp:467)"),
-        Collective("psum", "led,tile", np_size * np_size * dtype_bytes, 1,
+        Collective("psum", "led,tile", np_size * np_size * dtype_bytes, n_chunks,
                    "pupil increment consensus"),
-        Collective("psum", "led,tile", scalar, 2, "metrics"),
+        Collective("psum", "led,tile", scalar, 2 * n_chunks, "metrics"),
     ]
-    return _summarize(cols, axis_sizes={"led": n_led, "tile": n_tile}, n_chunks=1)
+    return _summarize(cols, axis_sizes={"led": n_led, "tile": n_tile},
+                      n_chunks=n_chunks)
 
 
 def _summarize(cols: list[Collective], axis_sizes: dict[str, int], n_chunks: int) -> dict:
@@ -158,11 +171,20 @@ def project_weak_scaling(
     }
 
 
-_HLO_COLLECTIVE_RE = re.compile(
-    r"\b(all-reduce|collective-permute|all-gather|reduce-scatter|all-to-all)"
-    r"(?:-start)?\b"
+# A defining HLO collective line reads
+#   %name = SHAPE op-name(operands), ...
+# where SHAPE is the RESULT shape (after the '='), either one shape like
+# ``c128[40,48]{1,0}`` or a tuple like ``(f64[], f64[])`` when XLA combined
+# several psums into one all-reduce. The op name must immediately precede
+# the '(' of its operand list, which excludes lines that merely *reference*
+# a collective as an operand (get-tuple-element, fusion, ...) and the
+# ``-done`` halves of async pairs.
+_SHAPE_RE = re.compile(r"\b([a-z]+\d+|pred)\[([0-9,]*)\]")
+_HLO_DEF_RE = re.compile(
+    r"^\s*(?P<shapes>\(?(?:[a-z0-9]+\[[0-9,]*\](?:\{[0-9,]*\})?(?:,\s*)?)+\)?)\s*"
+    r"(?P<op>all-reduce|collective-permute|all-gather|reduce-scatter|all-to-all)"
+    r"(?P<start>-start)?\("
 )
-_SHAPE_RE = re.compile(r"\b([a-z]+\d+)\[([0-9,]*)\]")
 
 _DTYPE_BYTES = {
     "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
@@ -174,18 +196,24 @@ _DTYPE_BYTES = {
 def hlo_collective_inventory(hlo_text: str) -> list[dict]:
     """Parse post-optimization HLO for collective ops + payload bytes.
 
-    Dedups the -start/-done pairs of async collectives (counts each once)
-    and sums the byte size of each op's result shapes. Used to verify the
-    analytic model against what XLA actually emits on the fake-device mesh.
+    Returns one entry per *defining* collective op (lines that only
+    reference a collective as an operand are skipped, as are the ``-done``
+    halves of async pairs), with ``bytes`` = the summed byte size of its
+    result shape(s) — a tuple result (XLA's combined all-reduce of several
+    psums) counts every element. Used to verify the analytic model against
+    what XLA actually emits on the fake-device mesh
+    (benchmarks/scaling.py, tests/test_comm.py).
     """
     out = []
     for line in hlo_text.splitlines():
-        m = _HLO_COLLECTIVE_RE.search(line)
-        if not m or "-done" in line or "fusion" in line.split("=")[0]:
+        if "=" not in line:
             continue
-        lhs = line.split("=", 1)[0]
+        rhs = line.split("=", 1)[1]
+        m = _HLO_DEF_RE.match(rhs)
+        if not m:
+            continue
         nbytes = 0
-        for dt, dims in _SHAPE_RE.findall(lhs):
+        for dt, dims in _SHAPE_RE.findall(m.group("shapes")):
             if dt not in _DTYPE_BYTES:
                 continue
             n = 1
@@ -193,5 +221,7 @@ def hlo_collective_inventory(hlo_text: str) -> list[dict]:
                 if d:
                     n *= int(d)
             nbytes += n * _DTYPE_BYTES[dt]
-        out.append({"op": m.group(1), "bytes": nbytes, "line": line.strip()[:160]})
+        # full line kept: callers filter on the metadata op_name scope
+        # (e.g. '/shard_map/'), which sits past any reasonable truncation
+        out.append({"op": m.group("op"), "bytes": nbytes, "line": line.strip()})
     return out

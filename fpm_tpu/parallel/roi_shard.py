@@ -1,0 +1,156 @@
+"""ROI-axis data parallelism for large-FOV reconstruction (SCALING.md).
+
+Wide-field imaging is the workload that actually needs many chips: the
+camera frame is tiled into overlapping Np×Np ROIs (models/largefov.py) and
+each ROI is an *independent* FPM reconstruction — the reference cannot do
+this at all (single crop, one monolithic spectrum, fpmMain.cpp:124-125,
+330-332). Here the ROI stack is sharded over a 1-D ``roi`` mesh axis with
+``shard_map``; every device runs the full single-device solver (including
+the fused Pallas sweeps) over its local ROIs via ``lax.map``. There are
+**zero per-sweep collectives** — the only cross-device traffic is the final
+host gather of recovered fields, outside the iteration loop — so weak
+scaling is limited only by egress bandwidth (projected in SCALING.md; this
+is the production scale-out mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import FPMConfig
+from ..geometry import LEDGeometry, pupil_support
+from ..models.epry import (
+    EPRYOptions,
+    _make_sweep_fn,
+    _planes,
+    _sorted_device_inputs,
+    _unplanes_np,
+    init_traced,
+)
+from ..models.largefov import LargeFOVResult, ReconResult, roi_origins, stitch_fields
+from ..ops import ifft2, ifftshift2d
+
+
+def make_roi_mesh(devices=None) -> Mesh:
+    """1-D ('roi',) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("roi",))
+
+
+def _solve_one(amps, starts, support_r, opts: EPRYOptions):
+    """One ROI's full reconstruction (mirrors models.epry._run_jit's body)."""
+    support = support_r.astype(opts.cdtype)
+    obj_f, pupil = init_traced(amps, support_r, opts)
+    # The pupil init depends only on the (replicated) support; the sweep
+    # makes it ROI-varying, so the scan carry must start varying too.
+    pupil = jax.lax.pcast(pupil, ("roi",), to="varying")
+    sweep_once = _make_sweep_fn(amps, starts, support, support_r, opts)
+
+    def body(carry, _):
+        o, p = carry
+        o, p, m = sweep_once(o, p)
+        return (o, p), m
+
+    (obj_f, pupil), metrics = jax.lax.scan(
+        body, (obj_f, pupil), None, length=opts.iterations
+    )
+    obj_crop = ifft2(ifftshift2d(obj_f))
+    return _planes(obj_crop), _planes(pupil), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "mesh"))
+def _run_roi_sharded(amps_stack, starts, support_r, opts: EPRYOptions, mesh: Mesh):
+    def device_body(local_amps):  # (T_local, K, Np, Np)
+        return jax.lax.map(
+            lambda a: _solve_one(a, starts, support_r, opts), local_amps
+        )
+
+    return jax.shard_map(
+        device_body,
+        mesh=mesh,
+        in_specs=P("roi"),
+        out_specs=P("roi"),
+        check_vma=not opts.use_pallas,  # see parallel/led_shard.py
+    )(amps_stack)
+
+
+def reconstruct_large_fov_sharded(
+    full_images: np.ndarray,
+    geom: LEDGeometry,
+    cfg: FPMConfig,
+    grid: tuple[int, int],
+    mesh: Mesh | None = None,
+    overlap: int | None = None,
+    iterations: int | None = None,
+    dtype=None,
+    **opt_overrides,
+) -> LargeFOVResult:
+    """ROI-sharded large-FOV reconstruction; matches the sequential
+    ``models.largefov.reconstruct_large_fov`` result (same tiling, same
+    per-ROI solver, same stitch — tests/test_roishard.py asserts it).
+
+    The ROI count is padded to a multiple of the mesh size with copies of
+    the first ROI (results are dropped after the gather) to keep shapes
+    static.
+    """
+    if mesh is None:
+        mesh = make_roi_mesh()
+    n_dev = mesh.devices.size
+    np_sz = cfg.np_size
+    rif = cfg.res_improvement_factor
+    if overlap is None:
+        overlap = np_sz // 4
+    origins_px, stride = roi_origins(cfg, grid, overlap, full_images.shape[1:])
+
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    opts = EPRYOptions.from_config(
+        cfg,
+        iterations=iterations if iterations is not None else cfg.iterations,
+        dtype=dtype.name,
+        **opt_overrides,
+    )
+
+    # Per-ROI NA-sorted amplitude stacks; geometry (starts, support) is
+    # shared across ROIs (validity bound: models.largefov.roi_angle_error).
+    amps_list, starts = [], None
+    for y0, x0 in origins_px:
+        roi = full_images[:, y0 : y0 + np_sz, x0 : x0 + np_sz]
+        a, starts = _sorted_device_inputs(roi, geom, dtype)
+        amps_list.append(a)
+    t_real = len(amps_list)
+    pad = (-t_real) % n_dev
+    amps_list += [amps_list[0]] * pad
+    amps_stack = jnp.stack(amps_list)
+    support_r = jnp.asarray(pupil_support(cfg, centered=False), dtype=opts.rdtype)
+
+    amps_stack = jax.device_put(amps_stack, NamedSharding(mesh, P("roi")))
+    starts, support_r = jax.device_put((starts, support_r), NamedSharding(mesh, P()))
+
+    crop_p, pupil_p, metrics = _run_roi_sharded(
+        amps_stack, starts, support_r, opts, mesh
+    )
+    crop_p, pupil_p, metrics = (
+        np.asarray(crop_p)[:t_real],
+        np.asarray(pupil_p)[:t_real],
+        np.asarray(metrics)[:t_real],
+    )
+
+    tiles = [
+        ReconResult(
+            obj_crop=_unplanes_np(crop_p[i]),
+            obj_f_centered=None,
+            pupil=_unplanes_np(pupil_p[i]),
+            metrics={"data_residual": metrics[i, :, 0], "update_norm": metrics[i, :, 1]},
+        )
+        for i in range(t_real)
+    ]
+    stitched, origins = stitch_fields(
+        [t.obj_crop for t in tiles], grid,
+        hr_size=np_sz * rif, hr_stride=stride * rif, overlap_hr=overlap * rif,
+    )
+    return LargeFOVResult(stitched=stitched, tiles=tiles, tile_origins=origins)

@@ -1,0 +1,80 @@
+"""Analytic comm model vs the compiled programs (SURVEY.md N3; SCALING.md §1).
+
+The weak-scaling projection is only as good as its communication model, so
+the model is verified against what XLA actually emits: the sharded sweeps
+are lowered on the fake-device mesh and ``hlo_collective_inventory``'s
+payload multiset must equal ``led_shard_comm``/``tile_shard_comm``'s.
+"""
+
+import numpy as np
+
+from fpm_tpu.parallel.comm import (
+    hlo_collective_inventory,
+    led_shard_comm,
+    tile_shard_comm,
+)
+
+from benchmarks.scaling import crosscheck_led, crosscheck_tile
+
+
+def test_led_model_matches_hlo():
+    ok, detail = crosscheck_led()
+    assert ok, detail
+    assert detail["n_chunks"] > 1  # the chunked path, not whole-sweep Jacobi
+
+
+def test_tile_model_matches_hlo():
+    ok, detail = crosscheck_tile()
+    assert ok, detail
+    assert detail["hlo_ppermute_payloads"], "halo exchange missing from HLO"
+
+
+def test_tile_model_counts_chunks():
+    """ADVICE r2: every tile-sweep collective fires once PER CHUNK."""
+    m1 = tile_shard_comm(360, 90, 193, n_led=1, n_tile=2, chunk_size=0)
+    m32 = tile_shard_comm(360, 90, 193, n_led=1, n_tile=2, chunk_size=32)
+    assert m1["n_chunks_per_sweep"] == 1
+    assert m32["n_chunks_per_sweep"] == 7
+    for c in m32["collectives"]:
+        assert c["calls_per_sweep"] % 7 == 0, c
+    assert (
+        m32["device_wire_bytes_per_sweep"]
+        == 7 * m1["device_wire_bytes_per_sweep"]
+    )
+
+
+def test_led_model_counts_chunks():
+    m = led_shard_comm(360, 90, k=193, chunk_size=32, n_led=4)
+    # chunk rounded up to a multiple of n_led (32 already is): 7 chunks
+    assert m["n_chunks_per_sweep"] == 7
+    obj = next(c for c in m["collectives"] if "object" in c["what"])
+    assert obj["payload_bytes"] == 360 * 360 * 8
+    assert obj["calls_per_sweep"] == 7
+
+
+def test_hlo_parser_reads_result_shapes():
+    """ADVICE r2: shapes sit AFTER '='; operand references don't count."""
+    hlo = "\n".join([
+        "  %psum.1 = c128[40,48]{1,0} all-reduce(%fusion.1), replica_groups={{0,1}}",
+        "  %mets = (f64[], f64[]) all-reduce(%a, %b), replica_groups={{0,1}}",
+        "  %gte = f64[] get-tuple-element(%all-reduce), index=0",
+        "  %fused = c128[24,48]{1,0} fusion(%collective-permute), kind=kLoop",
+        "  %pp = c128[16,48]{1,0} collective-permute(%slice), source_target_pairs={{0,1}}",
+        "  %done = c128[8,8]{1,0} all-reduce-done(%start)",
+    ])
+    inv = hlo_collective_inventory(hlo)
+    assert [(e["op"], e["bytes"]) for e in inv] == [
+        ("all-reduce", 40 * 48 * 16),
+        ("all-reduce", 16),
+        ("collective-permute", 16 * 48 * 16),
+    ]
+
+
+def test_ring_allreduce_scaling():
+    payloads = [
+        led_shard_comm(360, 90, 193, 32, p)["device_wire_bytes_per_sweep"]
+        for p in (1, 2, 8)
+    ]
+    assert payloads[0] == 0  # single device: no wire bytes
+    # 2(p-1)/p factor: p=8 moves 1.75x the bytes of p=2
+    assert np.isclose(payloads[2] / payloads[1], 1.75, rtol=1e-6)
