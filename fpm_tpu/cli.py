@@ -130,6 +130,7 @@ def main(argv=None) -> int:
 
 def _cmd_info(args) -> int:
     from .config import load_config
+    from .geometry import pupil_radius
 
     cfg = load_config(args.config)
     out = {
@@ -140,7 +141,7 @@ def _cmd_info(args) -> int:
         "Nlarge": cfg.n_large,
         "recovered_pixel_size": cfg.recovered_pixel_size,
         "ledCount": cfg.led_count,
-        "pupil_radius_px": __import__("fpm_tpu.geometry", fromlist=["pupil_radius"]).pupil_radius(cfg),
+        "pupil_radius_px": pupil_radius(cfg),
     }
     print(json.dumps(out, indent=2))
     if args.geometry:
@@ -228,7 +229,12 @@ def _cmd_run(args) -> int:
     from .config import load_config
     from .data.loader import load_dataset
     from .models.epry import reconstruct
-    from .utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+    from .utils.checkpoint import (
+        fingerprint,
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
     from .utils.metrics import MetricsLogger
     from .utils.outputs import save_results
     from .utils.profiling import phase, start_trace, stop_trace
@@ -264,11 +270,23 @@ def _cmd_run(args) -> int:
     print(f"[fpm-tpu] loaded {dataset.geom.num_leds} LED frames "
           f"(Np={cfg.np_size}, Nlarge={cfg.n_large})")
 
+    # Provenance fingerprint: everything that changes the iteration
+    # trajectory (problem shape, LED schedule, solver mode/chunking,
+    # precision). Stored in every checkpoint; --resume refuses a
+    # checkpoint written under a different one (silent divergence).
+    run_fp = fingerprint(
+        cfg, dataset.geom,
+        mode=args.mode, chunk_size=args.chunk_size,
+        chunk_assign=args.chunk_assign, global_max=args.global_max,
+        use_pallas=bool(args.use_pallas), dft_precision=args.dft_precision,
+        mesh="x".join(map(str, args.mesh)) if args.mesh else None,
+    )
+
     initial_state, start_iter = None, 0
     if args.resume:
         ck = latest_checkpoint(args.output)
         if ck:
-            obj_f, pupil, start_iter = load_checkpoint(ck)
+            obj_f, pupil, start_iter = load_checkpoint(ck, expect=run_fp)
             initial_state = (obj_f, pupil)
             print(f"[fpm-tpu] resuming from {ck} (iteration {start_iter})")
 
@@ -395,6 +413,7 @@ def _cmd_run(args) -> int:
                 save_checkpoint(
                     os.path.join(args.output, f"ckpt_{done}.npz"),
                     result.obj_f_centered, result.pupil, done,
+                    meta=run_fp,
                 )
 
     with phase("output", logger):

@@ -70,6 +70,23 @@ def _coords_to_array(value: Any) -> np.ndarray | None:
     return np.asarray(rows, dtype=np.float64)
 
 
+def _hole_positions_to_xyz(coords: np.ndarray | None) -> np.ndarray | None:
+    """Convert a ``holePositions`` table to the (x, y, z) frame.
+
+    SURVEY.md quirk 9, resolved: dataset_cellscope2.json's ``holePositions``
+    rows store **(z, y, x)** — verified by matching the table row-for-row
+    against the compiled-in dome (include/domeHoleCoordinates.h) after
+    reversing the columns (max |Δ| 5e-5 m, the dome table's own rounding).
+    Read as (x, y, z) every LED has illumination NA 0.75-1.0 and the NA
+    filter keeps zero LEDs; the reference never noticed because it ignored
+    the key entirely (fpmMain.cpp parses only ``holeCoordinates``) and
+    silently fell back to its compiled-in dome — the same physical table.
+    """
+    if coords is None:
+        return None
+    return coords[:, ::-1]
+
+
 def default_dome_coordinates() -> np.ndarray:
     """The built-in 508-LED dome geometry (x, y, z in meters).
 
@@ -230,11 +247,14 @@ class FPMConfig:
                 doc = json.load(f)
             if isinstance(doc, dict) and "ledList" in doc:
                 return led_array_map_coordinates(doc)
-            coords = _coords_to_array(
-                doc.get("holeCoordinates", doc.get("holePositions"))
-                if isinstance(doc, dict)
-                else doc
-            )
+            if isinstance(doc, dict):
+                coords = _coords_to_array(doc.get("holeCoordinates"))
+                if coords is None:
+                    coords = _hole_positions_to_xyz(
+                        _coords_to_array(doc.get("holePositions"))
+                    )
+            else:
+                coords = _coords_to_array(doc)
             if coords is not None:
                 return coords
             raise ValueError(f"no LED coordinates found in {path!r}")
@@ -313,7 +333,9 @@ def load_config(path_or_dict: str | dict, iterations: int | None = None) -> FPMC
                 return doc[k]
         return default
 
-    coords = _coords_to_array(get("holeCoordinates", None, "holePositions"))
+    coords = _coords_to_array(get("holeCoordinates", None))
+    if coords is None:
+        coords = _hole_positions_to_xyz(_coords_to_array(get("holePositions", None)))
 
     cfg = FPMConfig(
         dataset_root=get("datasetRoot", "."),

@@ -43,17 +43,21 @@ def scan_directory(cfg: FPMConfig) -> list[tuple[int, str]]:
 
     Mirrors the reference's readdir loop (fpmMain.cpp:63-75): prefix match at
     position 0, extension match at the end, LED number parsed with
-    ``atoi``-like semantics (leading zeros fine).
+    ``atoi``-like semantics (leading zeros fine). Unlike readdir (and unlike
+    lexical name order, where ILED_103 < ILED_24), results are sorted by LED
+    number so LEDGeometry's ascending-LED contract holds regardless of the
+    filesystem's enumeration order.
     """
     out = []
     pat = re.compile(
         re.escape(cfg.file_prefix) + r"(\d+)" + re.escape(cfg.file_extension) + r"$"
     )
     root = cfg.dataset_root
-    for name in sorted(os.listdir(root)):
+    for name in os.listdir(root):
         m = pat.fullmatch(name)
         if m:
             out.append((int(m.group(1)), os.path.join(root, name)))
+    out.sort()
     return out
 
 

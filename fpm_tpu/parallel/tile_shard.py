@@ -377,10 +377,26 @@ def reconstruct_tile_sharded(
     obj_f, pupil, obj_crop, metrics = _run_tile_sharded(
         *args, opts, mesh, s, n_tile
     )
-    metrics = np.asarray(metrics)
+    metrics = _fetch(metrics)
     return ReconResult(
-        obj_crop=np.asarray(obj_crop),
-        obj_f_centered=np.asarray(obj_f),
-        pupil=np.asarray(pupil),
+        obj_crop=_fetch(obj_crop),
+        obj_f_centered=_fetch(obj_f),
+        pupil=_fetch(pupil),
         metrics={"data_residual": metrics[:, 0], "update_norm": metrics[:, 1]},
     )
+
+
+def _fetch(x) -> np.ndarray:
+    """Materialize a result on the host.
+
+    Under multi-process execution the spectrum rows live on remote
+    processes; ``np.asarray`` on such an array raises. Replicated arrays
+    (pupil, metrics) fetch directly; row-sharded ones are all-gathered so
+    every process returns the same global result (SPMD contract: all
+    processes run the same program, so the collective matches up).
+    """
+    if getattr(x, "is_fully_addressable", True) or x.is_fully_replicated:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -13,11 +13,17 @@ works any time before the backend is first used.
 
 import os
 
+# FPM_TEST_PLATFORM=tpu leaves the real backend in place for the
+# compiled-on-hardware regression tests (tests/test_tpu_hw.py); everything
+# else runs on the deterministic fake-device CPU backend below.
+_PLATFORM = os.environ.get("FPM_TEST_PLATFORM", "cpu")
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+if _PLATFORM == "cpu" and "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if _PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

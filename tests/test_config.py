@@ -70,13 +70,26 @@ def test_cellscope_config():
 @needs_reference
 def test_cellscope2_holepositions_alias():
     # 'holePositions' key is never read by the reference (quirk 5) → config
-    # was unrunnable; we accept it as an alias for holeCoordinates.
+    # was unrunnable; we accept it as holeCoordinates stored in the (z,y,x)
+    # frame (quirk 9) and convert to (x,y,z) at parse time.
     cfg = load_config(os.path.join(REF, "dataset_cellscope2.json"))
     assert cfg.hole_coordinates is not None
     assert cfg.hole_coordinates.shape[1] == 3
     np.testing.assert_allclose(
-        cfg.hole_coordinates[0], [0.044584, -0.0050497, -0.039834]
+        cfg.hole_coordinates[0], [-0.039834, -0.0050497, 0.044584]
     )
+
+
+def test_cellscope2_holepositions_is_the_dome_table():
+    """The (z,y,x) reading is verified, not assumed: column-reversed
+    holePositions matches the compiled-in dome row-for-row (the dome
+    table's 4-decimal rounding bounds the residual)."""
+    from fpm_tpu.config import default_dome_coordinates
+
+    cfg = load_config(os.path.join(REF, "dataset_cellscope2.json"))
+    dome = default_dome_coordinates()
+    assert cfg.hole_coordinates.shape == dome.shape
+    np.testing.assert_allclose(cfg.hole_coordinates, dome, atol=5.1e-5)
 
 
 @needs_reference

@@ -22,19 +22,24 @@ from fpm_tpu.parallel.multihost import initialize_from_env, global_mesh
 assert initialize_from_env()
 import numpy as np
 from fpm_tpu.data.simulate import synthetic_dataset
-from fpm_tpu.parallel.led_shard import reconstruct_led_sharded
 
 ds = synthetic_dataset(np_size=16, grid=5, seed=11)
-mesh = global_mesh(tile=1)
-res = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
-                              iterations=3, dtype="complex128")
+tile = int(sys.argv[2])
+mesh = global_mesh(tile=tile)
+if tile == 1:
+    from fpm_tpu.parallel.led_shard import reconstruct_led_sharded
+    res = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                  iterations=3, dtype="complex128")
+else:
+    from fpm_tpu.parallel.tile_shard import reconstruct_tile_sharded
+    res = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                   iterations=3, dtype="complex128")
 if jax.process_index() == 0:
     np.save(sys.argv[1], res.obj_f_centered)
 """
 
 
-@pytest.mark.skipif(sys.platform != "linux", reason="linux-only harness")
-def test_two_process_led_sharded(tmp_path):
+def _run_two_process(tmp_path, tile: int, devices_per_proc: int = 2) -> np.ndarray:
     port = _free_port()
     out = str(tmp_path / "objf.npy")
     procs = []
@@ -44,12 +49,12 @@ def test_two_process_led_sharded(tmp_path):
             FPM_COORDINATOR=f"127.0.0.1:{port}",
             FPM_NUM_PROCESSES="2",
             FPM_PROCESS_ID=str(pid),
-            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_proc}",
             JAX_PLATFORM_NAME="cpu",
         )
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", WORKER, out],
+                [sys.executable, "-c", WORKER, out, str(tile)],
                 env=env,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 stdout=subprocess.PIPE,
@@ -59,16 +64,37 @@ def test_two_process_led_sharded(tmp_path):
     outs = [p.communicate(timeout=300) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-800:]
+    return np.load(out)
 
+
+def _reference():
     # Single-process reference on the local 8-device mesh (math is
     # mesh-size-invariant up to reduction order).
     from fpm_tpu.data.simulate import synthetic_dataset
     from fpm_tpu.models.epry import reconstruct
 
     ds = synthetic_dataset(np_size=16, grid=5, seed=11)
-    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
-                      dtype="complex128", mode="batched")
-    got = np.load(out)
+    return reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
+                       dtype="complex128", mode="batched")
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only harness")
+def test_two_process_led_sharded(tmp_path):
+    got = _run_two_process(tmp_path, tile=1)
+    ref = _reference()
+    rel = np.abs(got - ref.obj_f_centered).max() / np.abs(ref.obj_f_centered).max()
+    assert rel < 1e-10
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only harness")
+def test_two_process_tile_sharded_halos_cross_processes(tmp_path):
+    """tile=2 over 2 procs × 1 device each: with one device per process,
+    every spectrum-row halo ``ppermute`` necessarily crosses the process
+    boundary — the one collective that rides DCN differently from
+    intra-host ICI (global_mesh otherwise packs tile neighbors onto the
+    same host). Result must still equal the single-process batched solve."""
+    got = _run_two_process(tmp_path, tile=2, devices_per_proc=1)
+    ref = _reference()
     rel = np.abs(got - ref.obj_f_centered).max() / np.abs(ref.obj_f_centered).max()
     assert rel < 1e-10
 
