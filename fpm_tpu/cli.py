@@ -46,6 +46,10 @@ def _add_run_parser(sub):
                    help="save a checkpoint every K iterations (0 = off)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in the output dir")
+    p.add_argument("--resume-unsafe", action="store_true",
+                   help="with --resume: downgrade a provenance-fingerprint "
+                        "mismatch to a warning (deliberate restart under "
+                        "new options, or a pre-provenance checkpoint)")
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace")
     p.add_argument("--debug", action="store_true",
@@ -270,23 +274,39 @@ def _cmd_run(args) -> int:
     print(f"[fpm-tpu] loaded {dataset.geom.num_leds} LED frames "
           f"(Np={cfg.np_size}, Nlarge={cfg.n_large})")
 
+    # --mesh flag, or the config's tileGrid key (the fpm-tpu extension
+    # that makes the cellscope2 "tiled" config self-describing). Resolved
+    # before the fingerprint so provenance records what actually runs:
+    # mesh runs always use batched (chunked-Jacobi) sweep semantics.
+    mesh_req = args.mesh or (
+        list(cfg.tile_grid) if tuple(cfg.tile_grid) != (1, 1) else None
+    )
+    effective_mode = "batched" if mesh_req else args.mode
+
     # Provenance fingerprint: everything that changes the iteration
     # trajectory (problem shape, LED schedule, solver mode/chunking,
     # precision). Stored in every checkpoint; --resume refuses a
     # checkpoint written under a different one (silent divergence).
     run_fp = fingerprint(
         cfg, dataset.geom,
-        mode=args.mode, chunk_size=args.chunk_size,
+        mode=effective_mode, chunk_size=args.chunk_size,
         chunk_assign=args.chunk_assign, global_max=args.global_max,
         use_pallas=bool(args.use_pallas), dft_precision=args.dft_precision,
-        mesh="x".join(map(str, args.mesh)) if args.mesh else None,
+        mesh="x".join(map(str, mesh_req)) if mesh_req else None,
     )
+    logger.log("solver_options", mode=effective_mode,
+               chunk_size=args.chunk_size, chunk_assign=args.chunk_assign,
+               global_max=args.global_max, use_pallas=bool(args.use_pallas),
+               dft_precision=args.dft_precision,
+               mesh=list(mesh_req) if mesh_req else None)
 
     initial_state, start_iter = None, 0
     if args.resume:
         ck = latest_checkpoint(args.output)
         if ck:
-            obj_f, pupil, start_iter = load_checkpoint(ck, expect=run_fp)
+            obj_f, pupil, start_iter = load_checkpoint(
+                ck, expect=run_fp, strict=not args.resume_unsafe
+            )
             initial_state = (obj_f, pupil)
             print(f"[fpm-tpu] resuming from {ck} (iteration {start_iter})")
 
@@ -306,11 +326,6 @@ def _cmd_run(args) -> int:
         solver_kwargs = dict(mode=args.mode, global_max=args.global_max,
                              chunk_size=args.chunk_size,
                              chunk_assign=args.chunk_assign)
-        # --mesh flag, or the config's tileGrid key (the fpm-tpu extension
-        # that makes the cellscope2 "tiled" config self-describing).
-        mesh_req = args.mesh or (
-            list(cfg.tile_grid) if tuple(cfg.tile_grid) != (1, 1) else None
-        )
         if mesh_req:
             from .parallel import make_mesh, reconstruct_tile_sharded
 
@@ -319,10 +334,19 @@ def _cmd_run(args) -> int:
                   f"({len(mesh.devices.ravel())} devices)")
 
             def run_chunk(step, initial_state):
+                # Forward the full solver-option set: the mesh path runs
+                # batched (chunked-Jacobi) semantics, and chunk_size /
+                # chunk_assign / use_pallas / dft_precision all change the
+                # trajectory (chunk_size=0 whole-sweep Jacobi is unstable
+                # at realistic LED counts — models/epry.py docstring).
                 return reconstruct_tile_sharded(
                     dataset.images, dataset.geom, cfg, mesh=mesh,
                     iterations=step, initial_state=initial_state,
                     global_max=args.global_max,
+                    chunk_size=args.chunk_size,
+                    chunk_assign=args.chunk_assign,
+                    use_pallas=args.use_pallas,
+                    dft_precision=args.dft_precision,
                 )
         else:
             def run_chunk(step, initial_state):
