@@ -88,12 +88,15 @@ def run_workload(name: str, quick: bool):
         from bench import _flop_accounting
 
         from fpm_tpu.geometry import pupil_radius
-        from fpm_tpu.models.epry import chunk_schedule
+        from fpm_tpu.models.epry import chunk_schedule, effective_chunk_size
 
         # Headline-equivalent mode per workload: the chunked-batched fused-
         # Pallas sweep (shardable, fastest — bench.py) at the recommended
         # chunk 32 strided (convergence matches sequential,
-        # benchmarks/convergence.py).
+        # benchmarks/convergence.py), auto-clamped to the kernel's compile
+        # ceiling (Np=200 → chunk 16; ops/pallas_kernels.max_pallas_chunk).
+        eff_chunk = effective_chunk_size(cfg.np_size, 32, k, True, "batched")
+        row["headline_chunk_size"] = eff_chunk
         fps_bp, sec_bp = timed_solver(cfg, geom, images, reps, 10, 110,
                                       mode="batched", chunk_size=32,
                                       use_pallas=True, collect_metrics=False)
@@ -105,7 +108,7 @@ def run_workload(name: str, quick: bool):
         # Honest FLOP accounting (VERDICT r2): report both the naive counted
         # full-patch number AND the executed pupil-bbox contraction FLOPs;
         # "utilization" is computed from EXECUTED bf16 MXU FLOPs only.
-        perm, _mask, _nc = chunk_schedule(k, 32, "strided")
+        perm, _mask, _nc = chunk_schedule(k, eff_chunk, "strided")
         flops = _flop_accounting(cfg, geom, sec_bp, pupil_radius(cfg), perm.size)
         row.update(
             batched_chunk32_pallas_led_frames_per_s=round(fps_bp, 1),

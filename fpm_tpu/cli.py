@@ -282,6 +282,15 @@ def _cmd_run(args) -> int:
         list(cfg.tile_grid) if tuple(cfg.tile_grid) != (1, 1) else None
     )
     effective_mode = "batched" if mesh_req else args.mode
+    # The Pallas chunked kernel clamps oversize chunks to its compile
+    # ceiling (models/epry.py effective_chunk_size); record what will
+    # actually execute, not what was requested.
+    from .models.epry import effective_chunk_size
+
+    eff_chunk = effective_chunk_size(
+        cfg.np_size, args.chunk_size, int(dataset.geom.num_leds),
+        bool(args.use_pallas), effective_mode,
+    )
 
     # Provenance fingerprint: everything that changes the iteration
     # trajectory (problem shape, LED schedule, solver mode/chunking,
@@ -289,13 +298,13 @@ def _cmd_run(args) -> int:
     # checkpoint written under a different one (silent divergence).
     run_fp = fingerprint(
         cfg, dataset.geom,
-        mode=effective_mode, chunk_size=args.chunk_size,
+        mode=effective_mode, chunk_size=eff_chunk,
         chunk_assign=args.chunk_assign, global_max=args.global_max,
         use_pallas=bool(args.use_pallas), dft_precision=args.dft_precision,
         mesh="x".join(map(str, mesh_req)) if mesh_req else None,
     )
     logger.log("solver_options", mode=effective_mode,
-               chunk_size=args.chunk_size, chunk_assign=args.chunk_assign,
+               chunk_size=eff_chunk, chunk_assign=args.chunk_assign,
                global_max=args.global_max, use_pallas=bool(args.use_pallas),
                dft_precision=args.dft_precision,
                mesh=list(mesh_req) if mesh_req else None)

@@ -331,6 +331,28 @@ def sweep_batched_pallas(obj_f, pupil, amps_it, starts_it, mask, *, support,
     return obj_f, pupil, jnp.zeros((2,), dtype=amps_it.dtype)
 
 
+def effective_chunk_size(np_size: int, chunk_size: int, k: int,
+                         use_pallas: bool, mode: str) -> int:
+    """The chunk size that will actually run, after the Pallas compile guard.
+
+    The fused chunked kernel has an empirically calibrated Mosaic compile
+    ceiling on stacked rows per chunk (ops/pallas_kernels.py
+    ``_CHUNK_ROWS_LIMIT``); requests beyond it are clamped rather than
+    crashing remote compilation. Clamping never hurts convergence — smaller
+    chunks are strictly closer to the sequential Gauss–Seidel trajectory
+    (module docstring). XLA-path and sequential-mode requests pass through
+    unchanged. Used by :func:`reconstruct` and by the CLI's provenance
+    fingerprint so recorded options match what executed.
+    """
+    if not (use_pallas and mode == "batched"):
+        return chunk_size
+    from ..ops.pallas_kernels import max_pallas_chunk
+
+    cap = max_pallas_chunk(np_size)
+    eff = chunk_size if chunk_size > 0 else k
+    return min(eff, cap, k)
+
+
 def chunk_schedule(k: int, chunk_size: int, assign: str) -> tuple[np.ndarray, np.ndarray, int]:
     """Static chunking of a K-LED schedule: (perm, mask, n_chunks).
 
@@ -400,7 +422,9 @@ def sweep_batched(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions,
     """
     if amps.ndim == 3:  # flat: apply the static chunk permutation in-line
         k = amps.shape[0]
-        perm, mask_np, n_chunks = chunk_schedule(k, opts.chunk_size, opts.chunk_assign)
+        csize = effective_chunk_size(opts.np_size, opts.chunk_size, k,
+                                     opts.use_pallas, "batched")
+        perm, mask_np, n_chunks = chunk_schedule(k, csize, opts.chunk_assign)
         pad = perm.size - k
         if pad:
             amps = jnp.concatenate([amps, jnp.zeros((pad,) + amps.shape[1:], amps.dtype)])
@@ -478,7 +502,11 @@ def _make_sweep_fn(amps, starts, support, support_r, opts: EPRYOptions):
     """
     if opts.mode == "batched":
         k = amps.shape[0]
-        perm, mask_np, n_chunks = chunk_schedule(k, opts.chunk_size, opts.chunk_assign)
+        # Clamp to the fused kernel's compile ceiling here (not only in
+        # reconstruct): bench.py calls _run_jit directly with raw options.
+        csize = effective_chunk_size(opts.np_size, opts.chunk_size, k,
+                                     opts.use_pallas, "batched")
+        perm, mask_np, n_chunks = chunk_schedule(k, csize, opts.chunk_assign)
         pad = perm.size - k
         a, s = amps, starts
         if pad:
@@ -630,6 +658,17 @@ def reconstruct(
         cfg, iterations=iterations if iterations is not None else cfg.iterations,
         dtype=dtype.name, **opt_overrides,
     )
+    k = len(geom.schedule)
+    requested = opts.chunk_size if opts.chunk_size > 0 else k
+    eff_chunk = effective_chunk_size(
+        opts.np_size, opts.chunk_size, k, opts.use_pallas, opts.mode
+    )
+    eff_chunk = eff_chunk if eff_chunk > 0 else k
+    if eff_chunk < requested:
+        print(f"[fpm-tpu] pallas chunked kernel: chunk_size {requested} "
+              f"exceeds the compile ceiling at Np={opts.np_size}; "
+              f"clamped to {eff_chunk}")
+        opts = dataclasses.replace(opts, chunk_size=eff_chunk)
     amps, starts = _sorted_device_inputs(images, geom, dtype)
     support_r = jnp.asarray(pupil_support(cfg, centered=False), dtype=opts.rdtype)
 

@@ -480,6 +480,30 @@ def _sweep_kernel(
 # ------------------------------------------------------------------ chunked mode
 
 
+# Empirically calibrated Mosaic compile ceiling for the batched-chunk
+# kernels (v5e, ~16 MB VMEM): the chunk forward pass materializes
+# (C·np8)-row stacked buffers in both the nl- and 2·nl-lane layouts, and
+# remote compilation fails once the stacked row count C·np8 crosses
+# ~3.3-4k rows. Measured boundary on hardware (round 4):
+#   OK:   Np=200 C=16 (3200 rows), Np=100 C=32 (3328), Np=90 C=32 (3072)
+#   FAIL: Np=200 C=20 (4000),      Np=100 C=64 (6656), Np=90 C=64 (6144)
+# The limit is not explained by any single buffer's byte size (the mono
+# C=64 failure is byte-wise smaller than the passing Np=200 C=16 case);
+# stacked rows is the quantity that cleanly separates every measured
+# point, so the guard clamps on it with the largest-known-good value.
+_CHUNK_ROWS_LIMIT = 3328
+
+
+def max_pallas_chunk(np_size: int) -> int:
+    """Largest per-chunk LED count the fused chunked kernel compiles at.
+
+    Callers requesting a bigger chunk should clamp (smaller chunks are
+    strictly closer to the sequential Gauss–Seidel trajectory, so the
+    clamp never hurts convergence — models/epry.py docstring).
+    """
+    return max(1, _CHUNK_ROWS_LIMIT // _round_up(np_size, 8))
+
+
 def _window_offsets(starts_ref, idx, lo):
     """Decompose a patch start into aligned window offsets (ys0, dy, xs0, dx)."""
     ys = starts_ref[2 * idx] + lo
@@ -696,6 +720,14 @@ def fused_epry_chunked(
             f"dft_precision must be 'bf16x3' or 'highest', got {dft_precision!r}"
         )
     n_chunks, c = amps.shape[0], amps.shape[1]
+    if not interpret and c * _round_up(np_size, 8) > _CHUNK_ROWS_LIMIT:
+        raise ValueError(
+            f"chunk of {c} LEDs at Np={np_size} exceeds the fused chunked "
+            f"kernel's compile ceiling ({c * _round_up(np_size, 8)} stacked "
+            f"rows > {_CHUNK_ROWS_LIMIT}); use chunk_size <= "
+            f"{max_pallas_chunk(np_size)} (models.epry.reconstruct clamps "
+            "this automatically)"
+        )
     n = np_size
     b, lo = _support_bbox(n, pupil_radius)
     np8 = _round_up(n, 8)
@@ -914,6 +946,13 @@ def fused_chunk_increments(
             f"dft_precision must be 'bf16x3' or 'highest', got {dft_precision!r}"
         )
     c = amps.shape[0]
+    if not interpret and c * _round_up(np_size, 8) > _CHUNK_ROWS_LIMIT:
+        raise ValueError(
+            f"per-device chunk of {c} LEDs at Np={np_size} exceeds the fused "
+            f"chunk-increments kernel's compile ceiling "
+            f"({c * _round_up(np_size, 8)} stacked rows > {_CHUNK_ROWS_LIMIT}); "
+            f"use chunk_size <= {max_pallas_chunk(np_size)} or more devices"
+        )
     n = np_size
     b, lo = _support_bbox(n, pupil_radius)
     np8 = _round_up(n, 8)

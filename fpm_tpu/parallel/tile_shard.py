@@ -307,6 +307,23 @@ def prepare_tile_sharded(
         mode="batched",
         **opt_overrides,
     )
+    if opts.use_pallas:
+        # Pre-clamp to the fused kernel's compile ceiling (the per-device
+        # chunk slice k_max is <= chunk_size; fused_chunk_increments
+        # raises if the partition still lands a device over the limit).
+        import dataclasses as _dc
+
+        from ..models.epry import effective_chunk_size
+
+        k = len(geom.schedule)
+        requested = opts.chunk_size if opts.chunk_size > 0 else k
+        eff = effective_chunk_size(cfg.np_size, opts.chunk_size, k, True,
+                                   "batched")
+        if 0 < eff < requested:
+            print(f"[fpm-tpu] pallas chunked kernel: chunk_size {requested} "
+                  f"exceeds the compile ceiling at Np={cfg.np_size}; "
+                  f"clamped to {eff}")
+            opts = _dc.replace(opts, chunk_size=eff)
 
     idx, s = partition_leds_by_tile(
         geom, cfg.n_large, n_tile, n_led, cfg.np_size,

@@ -98,3 +98,62 @@ def test_chunked_pallas_matches_batched_xla(np_size, chunk, prec, tol_o, tol_p):
     rel_p = np.abs(got.pupil - ref.pupil).max() / np.abs(ref.pupil).max()
     assert rel_o < tol_o
     assert rel_p < tol_p
+
+
+def test_chunk_compile_guard():
+    """The fused chunked kernels refuse chunks over the calibrated Mosaic
+    compile ceiling with a clear error (instead of a remote-compile crash),
+    and reconstruct auto-clamps the chunk size (VERDICT r3 item 2)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from fpm_tpu.models.epry import effective_chunk_size
+    from fpm_tpu.ops.pallas_kernels import (
+        _CHUNK_ROWS_LIMIT,
+        fused_epry_chunked,
+        max_pallas_chunk,
+    )
+
+    # Calibration points measured on v5e hardware (round 4).
+    assert max_pallas_chunk(200) == 16   # dogStomach: chunk20 failed, 16 ok
+    assert max_pallas_chunk(90) >= 32    # mono headline chunk32 compiles
+    assert max_pallas_chunk(100) == 32   # cellscope chunk32 compiles (311 s)
+    assert 32 * 96 <= _CHUNK_ROWS_LIMIT  # mono chunk32 stays admissible
+
+    # Direct kernel call over the ceiling: clear ValueError at trace time.
+    n, c = 200, 32
+    with _pytest.raises(ValueError, match="compile ceiling"):
+        fused_epry_chunked(
+            jnp.zeros((2, 600, 600), jnp.float32),
+            jnp.zeros((2, n, n), jnp.float32),
+            jnp.zeros((n, n), jnp.float32),
+            jnp.zeros((1, c, n, n), jnp.float32),
+            jnp.zeros((2 * c,), jnp.int32),
+            jnp.ones((c,), jnp.int32),
+            np_size=n, n_large=600, delta1=5.0, delta2=100.0, eps=1e-10,
+            interpret=False,
+        )
+
+    # effective_chunk_size: clamps pallas-batched, passes through the rest.
+    assert effective_chunk_size(200, 32, 88, True, "batched") == 16
+    assert effective_chunk_size(200, 32, 88, False, "batched") == 32
+    assert effective_chunk_size(200, 32, 88, True, "sequential") == 32
+    assert effective_chunk_size(90, 0, 193, True, "batched") == 34
+    assert effective_chunk_size(16, 999, 25, True, "batched") == 25
+
+
+def test_reconstruct_clamps_oversize_pallas_chunk(capsys):
+    """An oversize chunk request on the Pallas batched path runs at the
+    clamped size and matches an explicit run at that size."""
+    ds16 = synthetic_dataset(np_size=16, grid=5, seed=3)
+    # np_size=16 → cap=208; force a tiny artificial ceiling via a chunk
+    # that exceeds K instead: chunk 999 → clamped to K=25 (single chunk).
+    a = reconstruct(ds16.images, ds16.geom, ds16.cfg, iterations=2,
+                    dtype="complex64", mode="batched", chunk_size=999,
+                    use_pallas=True, dft_precision="highest",
+                    collect_metrics=False)
+    b = reconstruct(ds16.images, ds16.geom, ds16.cfg, iterations=2,
+                    dtype="complex64", mode="batched", chunk_size=25,
+                    use_pallas=True, dft_precision="highest",
+                    collect_metrics=False)
+    np.testing.assert_array_equal(a.obj_f_centered, b.obj_f_centered)

@@ -107,14 +107,39 @@ def test_lazy_global_max(mono):
     assert _rel(pal.obj_f_centered, xla.obj_f_centered) < 1e-5
 
 
-def test_dogstomach_shape():
-    """Np=200 (dataset_dogStomach.json scale) — the PARITY.md N4 shape."""
-    cfg, geom, images = _problem(
+@pytest.fixture(scope="module")
+def dogstomach():
+    # Np=200 (dataset_dogStomach.json scale) — the PARITY.md N4 shape.
+    return _problem(
         np_size=200, pixel_size=6.5, objective_mag=8.0, objective_na=0.2,
         max_illumination_na=0.30, wavelength=0.63,
     )
+
+
+def test_dogstomach_shape(dogstomach):
+    cfg, geom, images = dogstomach
     xla = reconstruct(images, geom, cfg, iterations=1)
     pal = reconstruct(images, geom, cfg, iterations=1,
                       use_pallas=True, dft_precision="bf16x3")
+    assert _rel(pal.obj_f_centered, xla.obj_f_centered) < 1e-5
+    assert _rel(pal.pupil, xla.pupil) < 1e-5
+
+
+def test_dogstomach_chunked(dogstomach):
+    """The headline chunked mode at Np=200 (VERDICT r3 item 2): a chunk32
+    request is auto-clamped to the compile ceiling (chunk 16 at Np=200 —
+    chunk 20+ fails remote compilation, measured round 4) and must match
+    the XLA chunked math at the same effective chunking."""
+    from fpm_tpu.models.epry import effective_chunk_size
+
+    cfg, geom, images = dogstomach
+    k = int(geom.num_leds)
+    eff = effective_chunk_size(cfg.np_size, 32, k, True, "batched")
+    assert eff == 16
+    xla = reconstruct(images, geom, cfg, iterations=1,
+                      mode="batched", chunk_size=eff)
+    pal = reconstruct(images, geom, cfg, iterations=1,
+                      mode="batched", chunk_size=32,   # auto-clamped to 16
+                      use_pallas=True, collect_metrics=False)
     assert _rel(pal.obj_f_centered, xla.obj_f_centered) < 1e-5
     assert _rel(pal.pupil, xla.pupil) < 1e-5
