@@ -87,13 +87,14 @@ def time_variant(cfg, amps, starts, o, p, sup, *, ablate, dft_precision,
     def run_sweeps(o, p, sup, amps, starts_flat, n_sweeps):
         def body(carry, _):
             o, p = carry
-            return fused_epry_sweep(
+            o, p, _mets = fused_epry_sweep(
                 o, p, sup, amps, starts_flat,
                 np_size=cfg.np_size, n_large=cfg.n_large,
                 delta1=cfg.delta1, delta2=cfg.delta2, eps=cfg.eps,
                 dft_precision=dft_precision, ablate=ablate,
                 pupil_radius=pupil_radius, global_max=global_max,
-            ), None
+            )
+            return (o, p), None
 
         (o, p), _ = jax.lax.scan(body, (o, p), None, length=n_sweeps)
         return jnp.sum(p)

@@ -133,6 +133,9 @@ def main(argv=None):
     ap.add_argument("--workloads", nargs="*", default=list(WORKLOADS))
     args = ap.parse_args(argv)
 
+    from bench import _setup_compilation_cache
+
+    _setup_compilation_cache()
     rows = []
     for name in args.workloads:
         row = run_workload(name, args.quick)

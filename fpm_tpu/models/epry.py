@@ -272,9 +272,10 @@ def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     """Sequential sweep routed through the fused Pallas mega-kernel.
 
     Equivalent to :func:`sweep_sequential` with the matching ``global_max``
-    mode (fpm_tpu/ops/pallas_kernels.py); metrics are not collected
-    in-kernel. ``opts.pupil_radius`` enables the exact pupil-support bbox
-    restriction inside the kernel.
+    mode (fpm_tpu/ops/pallas_kernels.py); per-sweep (residual, update-norm)
+    metrics are accumulated in-kernel when ``opts.collect_metrics``.
+    ``opts.pupil_radius`` enables the exact pupil-support bbox restriction
+    inside the kernel.
     """
     import jax as _jax
 
@@ -283,7 +284,7 @@ def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
     o_planes = jnp.stack([jnp.real(obj_f), jnp.imag(obj_f)]).astype(jnp.float32)
     p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
     support_r = jnp.real(support).astype(jnp.float32)
-    o_out, p_out = fused_epry_sweep(
+    o_out, p_out, mets = fused_epry_sweep(
         o_planes, p_planes, support_r,
         amps.astype(jnp.float32), starts.reshape(-1),
         np_size=opts.np_size, n_large=opts.n_large,
@@ -292,10 +293,11 @@ def sweep_pallas(obj_f, pupil, amps, starts, *, support, opts: EPRYOptions):
         dft_precision=opts.dft_precision,
         pupil_radius=opts.pupil_radius,
         global_max=opts.global_max,
+        collect_metrics=opts.collect_metrics,
     )
     obj_f = (o_out[0] + 1j * o_out[1]).astype(obj_f.dtype)
     pupil = (p_out[0] + 1j * p_out[1]).astype(pupil.dtype)
-    return obj_f, pupil, jnp.zeros((2,), dtype=amps.dtype)
+    return obj_f, pupil, mets.astype(amps.dtype)
 
 
 def sweep_batched_pallas(obj_f, pupil, amps_it, starts_it, mask, *, support,
@@ -304,8 +306,9 @@ def sweep_batched_pallas(obj_f, pupil, amps_it, starts_it, mask, *, support,
 
     Equivalent to :func:`sweep_batched` (ops/pallas_kernels.py
     ``fused_epry_chunked`` batches each chunk's LEDs onto the MXU); inputs
-    are the pre-chunked (n_chunks, C, ...) arrays. Metrics are not
-    collected in-kernel (same contract as :func:`sweep_pallas`).
+    are the pre-chunked (n_chunks, C, ...) arrays. Per-sweep (residual,
+    update-norm) metrics are accumulated in-kernel when
+    ``opts.collect_metrics``.
     """
     import jax as _jax
 
@@ -314,7 +317,7 @@ def sweep_batched_pallas(obj_f, pupil, amps_it, starts_it, mask, *, support,
     o_planes = jnp.stack([jnp.real(obj_f), jnp.imag(obj_f)]).astype(jnp.float32)
     p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
     support_r = jnp.real(support).astype(jnp.float32)
-    o_out, p_out = fused_epry_chunked(
+    o_out, p_out, mets = fused_epry_chunked(
         o_planes, p_planes, support_r,
         amps_it.astype(jnp.float32),
         starts_it.reshape(-1).astype(jnp.int32),
@@ -325,10 +328,11 @@ def sweep_batched_pallas(obj_f, pupil, amps_it, starts_it, mask, *, support,
         dft_precision=opts.dft_precision,
         pupil_radius=opts.pupil_radius,
         pupil_step_scale=opts.pupil_step_scale,
+        collect_metrics=opts.collect_metrics,
     )
     obj_f = (o_out[0] + 1j * o_out[1]).astype(obj_f.dtype)
     pupil = (p_out[0] + 1j * p_out[1]).astype(pupil.dtype)
-    return obj_f, pupil, jnp.zeros((2,), dtype=amps_it.dtype)
+    return obj_f, pupil, mets.astype(amps_it.dtype)
 
 
 def effective_chunk_size(np_size: int, chunk_size: int, k: int,
@@ -614,16 +618,6 @@ def led_intermediates(state, images, geom, cfg, led_index: int,
     return {k: _unplanes_np(np.asarray(v)) for k, v in out.items()}
 
 
-@functools.partial(jax.jit, static_argnames=("opts",))
-def _residual_jit(obj_planes, pupil_planes, amps, starts, opts: EPRYOptions):
-    """Data-fidelity residual Σ(A − |ifft2(crop·P)|)² of a state (batched)."""
-    obj_f = obj_planes[0] + 1j * obj_planes[1]
-    pupil = pupil_planes[0] + 1j * pupil_planes[1]
-    patches = jax.vmap(lambda s: crop_patch(obj_f, s, opts.np_size))(starts)
-    fields = ifft2(fftshift2d(patches) * pupil)
-    return jnp.sum((amps - jnp.abs(fields)) ** 2)
-
-
 def _sorted_device_inputs(images, geom: LEDGeometry, dtype):
     """Sort amplitudes + crop starts into schedule order, ship to device."""
     real_dtype = jnp.dtype("float64" if jnp.dtype(dtype) == jnp.complex128 else "float32")
@@ -688,12 +682,6 @@ def reconstruct(
         amps, starts, support_r, obj_init, pupil_init, opts, use_init
     )
     metrics = np.asarray(metrics)
-    if opts.use_pallas and opts.collect_metrics:
-        # The fused kernel doesn't emit per-sweep metrics; evaluate the
-        # data-fidelity residual of the final state (one batched pass).
-        resid = float(_residual_jit(obj_p, pupil_p, amps, starts, opts))
-        metrics = metrics.copy()
-        metrics[-1, 0] = resid
     return ReconResult(
         obj_crop=_unplanes_np(obj_crop_p),
         obj_f_centered=_unplanes_np(obj_p),

@@ -342,11 +342,12 @@ def _window_add(o_ref, ys0, dy, xs0, dx, do_r, do_i, b, win, lane_blk):
 def _sweep_kernel(
     # scalar prefetch
     starts_ref,
-    # refs: amp, sup, *mats, o_in, p_in, o_out, p_out, rowmax/omax scratch
+    # refs: amp, sup, *mats, o_in, p_in, o_out, p_out, mets_out,
+    #       rowmax/omax scratch
     *refs,
     np_size: int, bbox: int, bbox_lo: int, win: int, lane_blk: int,
     n_mats: int, delta1: float, delta2: float, eps: float,
-    dft_precision: str, global_max: str, ablate: str,
+    dft_precision: str, global_max: str, collect_metrics: bool, ablate: str,
 ):
     n, b, lo = np_size, bbox, bbox_lo
     np8 = _round_up(n, 8)
@@ -356,9 +357,15 @@ def _sweep_kernel(
     mats = refs[2:2 + n_mats]
     o_ref = refs[2 + n_mats + 2]   # aliased outputs (inputs at +0, +1)
     p_ref = refs[2 + n_mats + 3]
-    rm_ref = refs[2 + n_mats + 4]
+    mets_ref = refs[2 + n_mats + 4]
+    rm_ref = refs[2 + n_mats + 5]
 
     k = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _init_mets():
+        mets_ref[0] = jnp.zeros((), jnp.float32)
+        mets_ref[1] = jnp.zeros((), jnp.float32)
     mm_left, mm_right, per = _mm_fns(dft_precision, ablate)
     ms_li, ms_ri, ms_lf, ms_rf = (
         mats[i * per:(i + 1) * per] for i in range(4)
@@ -426,6 +433,12 @@ def _sweep_kernel(
     rep_r = img_r * scale
     rep_i = img_i * scale
 
+    if collect_metrics:
+        # per-LED data residual Σ(A − |img|)² (fpmMain-parity telemetry;
+        # padded region: amp = img = 0 contributes nothing)
+        term = amp - jnp.sqrt(img_r * img_r + img_i * img_i)
+        mets_ref[0] = mets_ref[0] + jnp.sum(term * term)
+
     # --- back to the centered Fourier frame, bbox rows/cols only:
     #     (np8, nl)→(b, b)
     if ablate == "no-dft":
@@ -451,6 +464,8 @@ def _sweep_kernel(
     wi = -pabs * p_i * recip_o
     do_r = d_r * wr - d_i * wi
     do_i = d_r * wi + d_i * wr
+    if collect_metrics:
+        mets_ref[1] = mets_ref[1] + jnp.sum(do_r * do_r + do_i * do_i)
     if ablate != "no-window-write":
         _window_add(o_ref, ys0, dy, xs0, dx, do_r, do_i, b, win, lane_blk)
 
@@ -611,11 +626,11 @@ def _chunked_kernel(
     # scalar prefetch
     starts_ref,
     valid_ref,
-    # refs: amp2d, sup, *mats, o_in, p_in, o_out, p_out
+    # refs: amp2d, sup, *mats, o_in, p_in, o_out, p_out, mets_out
     *refs,
     chunk: int, np_size: int, bbox: int, bbox_lo: int, win: int,
     lane_blk: int, n_mats: int, delta1: float, delta2: float, eps: float,
-    pupil_step_scale: float, dft_precision: str,
+    pupil_step_scale: float, dft_precision: str, collect_metrics: bool,
 ):
     """One grid step = one Jacobi chunk, updates applied in place.
 
@@ -624,23 +639,45 @@ def _chunked_kernel(
     accumulated (window adds commute), ``max|O|`` is taken over the
     *updated* spectrum (fpmMain.cpp:460,467 — jacobi_chunk computes it
     post-update), and the pupil consensus adds the masked increment sum.
+    With ``collect_metrics`` the (data-residual, update-norm) sums are
+    accumulated across chunks into the SMEM metrics output — the same
+    per-sweep convergence telemetry the XLA path emits (VERDICT r3 item 5).
     """
     n, b = np_size, bbox
     amp_ref, sup_ref = refs[0], refs[1]
     mats = refs[2:2 + n_mats]
     o_ref = refs[2 + n_mats + 2]   # aliased outputs (inputs at +0, +1)
     p_ref = refs[2 + n_mats + 3]
+    mets_ref = refs[2 + n_mats + 4]
 
     k = pl.program_id(0)
     base = k * chunk
     p_r = p_ref[0]
     p_i = p_ref[1]
 
-    offs, oc_r, oc_i, d_r, d_i, _, _ = _batched_chunk_forward(
+    @pl.when(k == 0)
+    def _init_mets():
+        mets_ref[0] = jnp.zeros((), jnp.float32)
+        mets_ref[1] = jnp.zeros((), jnp.float32)
+
+    offs, oc_r, oc_i, d_r, d_i, img_r, img_i = _batched_chunk_forward(
         o_ref, p_r, p_i, amp_ref[0], starts_ref, base, mats,
         chunk=chunk, np_size=n, bbox=b, bbox_lo=bbox_lo, win=win,
         lane_blk=lane_blk, eps=eps, dft_precision=dft_precision,
     )
+
+    if collect_metrics:
+        # data residual Σ m·(A − |img|)² (padded rows: amp = img = 0)
+        np8 = _round_up(n, 8)
+        absimg = jnp.sqrt(img_r * img_r + img_i * img_i)
+        amp2d = amp_ref[0]
+        resid = jnp.zeros((), jnp.float32)
+        for j in range(chunk):
+            rows = slice(j * np8, (j + 1) * np8)
+            vm = valid_ref[base + j].astype(jnp.float32)
+            term = amp2d[rows, :] - absimg[rows, :]
+            resid = resid + vm * jnp.sum(term * term)
+        mets_ref[0] = mets_ref[0] + resid
 
     # --- object update from the chunk-start pupil (fpmMain.cpp:404-447)
     pabs2 = p_r * p_r + p_i * p_i
@@ -649,14 +686,20 @@ def _chunked_kernel(
     recip_o = 1.0 / (pmax * (pabs2 + delta2))
     wr = pabs * p_r * recip_o
     wi = -pabs * p_i * recip_o
+    upd = jnp.zeros((), jnp.float32)
     for j in range(chunk):
         do_r = d_r[j] * wr - d_i[j] * wi
         do_i = d_r[j] * wi + d_i[j] * wr
+        if collect_metrics:
+            vm = valid_ref[base + j].astype(jnp.float32)
+            upd = upd + vm * jnp.sum(do_r * do_r + do_i * do_i)
 
         @pl.when(valid_ref[base + j] > 0)
         def _add(do_r=do_r, do_i=do_i, off=offs[j]):
             _window_add(o_ref, off[0], off[1], off[2], off[3],
                         do_r, do_i, b, win, lane_blk)
+    if collect_metrics:
+        mets_ref[1] = mets_ref[1] + upd
 
     # --- post-update global max|O| (one full fold per chunk; the padded
     # border is exactly zero so it cannot win the max)
@@ -685,6 +728,7 @@ def _chunked_kernel(
     static_argnames=(
         "np_size", "n_large", "delta1", "delta2", "eps", "interpret",
         "dft_precision", "pupil_radius", "pupil_step_scale",
+        "collect_metrics",
     ),
 )
 def fused_epry_chunked(
@@ -704,6 +748,7 @@ def fused_epry_chunked(
     dft_precision: str = "bf16x3",
     pupil_radius: int = 0,
     pupil_step_scale: float = 1.0,
+    collect_metrics: bool = False,
 ):
     """One chunked Gauss–Seidel-over-Jacobi sweep as a single Pallas kernel.
 
@@ -712,8 +757,12 @@ def fused_epry_chunked(
     fpmMain.cpp:348) up to f32/bf16x3 round-off; validated in
     tests/test_pallas.py. grid = (n_chunks,): chunks run sequentially
     (Gauss–Seidel), each chunk's LEDs batched onto the MXU (Jacobi), the
-    spectrum VMEM-resident across chunks via input/output aliasing. Metrics
-    are not collected in-kernel (same contract as :func:`fused_epry_sweep`).
+    spectrum VMEM-resident across chunks via input/output aliasing.
+
+    Returns ``(o_planes, p_planes, mets)``; ``mets`` is the per-sweep
+    (data-residual, update-norm) pair accumulated in-kernel when
+    ``collect_metrics`` (zeros otherwise) — the same convergence telemetry
+    as the XLA ``sweep_batched`` path (VERDICT r3 item 5).
     """
     if dft_precision not in ("bf16x3", "highest"):
         raise ValueError(
@@ -772,6 +821,7 @@ def fused_epry_chunked(
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )
 
@@ -780,13 +830,15 @@ def fused_epry_chunked(
         lane_blk=lane_blk, n_mats=n_mats,
         delta1=delta1, delta2=delta2, eps=eps,
         pupil_step_scale=pupil_step_scale, dft_precision=dft_precision,
+        collect_metrics=collect_metrics,
     )
-    o_out, p_out = pl.pallas_call(
+    o_out, p_out, mets = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((2, rows_pad, lanes), f32),
             jax.ShapeDtypeStruct((2, b, b), f32),
+            jax.ShapeDtypeStruct((2,), f32),
         ),
         input_output_aliases={4 + n_mats: 0, 5 + n_mats: 1},  # o, p
         interpret=interpret,
@@ -797,7 +849,7 @@ def fused_epry_chunked(
         p_full, p_out[:, :bsel, :bsel], (0, lo, lo)
     )
     p_corner = jnp.roll(p_full, (-half, -half), axis=(1, 2))
-    return o_out[:, :n_large, :n_large], p_corner
+    return o_out[:, :n_large, :n_large], p_corner, mets
 
 
 def _chunk_inc_kernel(
@@ -1026,7 +1078,8 @@ def fused_chunk_increments(
     jax.jit,
     static_argnames=(
         "np_size", "n_large", "delta1", "delta2", "eps", "interpret",
-        "dft_precision", "pupil_radius", "global_max", "ablate",
+        "dft_precision", "pupil_radius", "global_max", "collect_metrics",
+        "ablate",
     ),
 )
 def fused_epry_sweep(
@@ -1045,6 +1098,7 @@ def fused_epry_sweep(
     dft_precision: str = "bf16x3",
     pupil_radius: int = 0,
     global_max: str = "exact",
+    collect_metrics: bool = False,
     ablate: str = "",
 ):
     """One full sequential EPRY sweep as a single fused Pallas kernel.
@@ -1057,6 +1111,10 @@ def fused_epry_sweep(
     freezes max|O| at its sweep-start value (same deviation as the XLA
     path). ``ablate`` disables kernel stages for benchmark time attribution
     (benchmarks/ablate.py) — output is garbage unless empty.
+
+    Returns ``(o_planes, p_planes, mets)``; ``mets`` is the per-sweep
+    (data-residual, update-norm) pair accumulated across LEDs in-kernel
+    when ``collect_metrics`` (zeros otherwise).
     """
     if dft_precision not in ("bf16x3", "highest"):
         raise ValueError(
@@ -1117,6 +1175,7 @@ def fused_epry_sweep(
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=scratch,
     )
@@ -1125,14 +1184,16 @@ def fused_epry_sweep(
         _sweep_kernel, np_size=n, bbox=b, bbox_lo=lo, win=win,
         lane_blk=lane_blk, n_mats=n_mats,
         delta1=delta1, delta2=delta2, eps=eps, dft_precision=dft_precision,
-        global_max=global_max, ablate=ablate,
+        global_max=global_max, collect_metrics=collect_metrics,
+        ablate=ablate,
     )
-    o_out, p_out = pl.pallas_call(
+    o_out, p_out, mets = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((2, rows_pad, lanes), f32),
             jax.ShapeDtypeStruct((2, b, b), f32),
+            jax.ShapeDtypeStruct((2,), f32),
         ),
         input_output_aliases={3 + n_mats: 0, 4 + n_mats: 1},  # o, p
         interpret=interpret,
@@ -1145,4 +1206,4 @@ def fused_epry_sweep(
         p_full, p_out[:, :bsel, :bsel], (0, lo, lo)
     )
     p_corner = jnp.roll(p_full, (-half, -half), axis=(1, 2))
-    return o_out[:, :n_large, :n_large], p_corner
+    return o_out[:, :n_large, :n_large], p_corner, mets

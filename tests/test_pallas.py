@@ -157,3 +157,32 @@ def test_reconstruct_clamps_oversize_pallas_chunk(capsys):
                     use_pallas=True, dft_precision="highest",
                     collect_metrics=False)
     np.testing.assert_array_equal(a.obj_f_centered, b.obj_f_centered)
+
+
+def test_fused_kernels_emit_per_sweep_metrics(ds):
+    """VERDICT r3 item 5: both fused kernels accumulate per-sweep
+    (data-residual, update-norm) in-kernel, matching the XLA paths."""
+    # sequential kernel vs sequential XLA sweep
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
+                      dtype="complex64")
+    seq = reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
+                      dtype="complex64", use_pallas=True,
+                      dft_precision="highest")
+    assert seq.metrics["data_residual"].shape == (3,)
+    np.testing.assert_allclose(seq.metrics["data_residual"],
+                               ref.metrics["data_residual"], rtol=1e-4)
+    np.testing.assert_allclose(seq.metrics["update_norm"],
+                               ref.metrics["update_norm"], rtol=1e-4)
+    # residual decreases over sweeps (sanity that it's a real curve)
+    assert seq.metrics["data_residual"][-1] < seq.metrics["data_residual"][0]
+
+    # chunked kernel vs batched XLA sweep (chunk 8 -> 4 chunks, 7 dummies)
+    refb = reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
+                       dtype="complex64", mode="batched", chunk_size=8)
+    chk = reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
+                      dtype="complex64", mode="batched", chunk_size=8,
+                      use_pallas=True, dft_precision="highest")
+    np.testing.assert_allclose(chk.metrics["data_residual"],
+                               refb.metrics["data_residual"], rtol=1e-4)
+    np.testing.assert_allclose(chk.metrics["update_norm"],
+                               refb.metrics["update_norm"], rtol=1e-4)
