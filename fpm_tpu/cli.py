@@ -85,6 +85,11 @@ def _add_run_parser(sub):
     p.add_argument("--distributed", action="store_true",
                    help="initialize jax.distributed from FPM_COORDINATOR/"
                         "FPM_NUM_PROCESSES/FPM_PROCESS_ID (multi-host)")
+    p.add_argument("--watchdog-timeout", type=float, default=0,
+                   help="abort if no iteration chunk completes within this "
+                        "many seconds (failure detection: survivors of a "
+                        "dead peer hang in collectives; 0 = off). Restart "
+                        "with --resume to continue from the last checkpoint")
     return p
 
 
@@ -411,6 +416,11 @@ def _cmd_run(args) -> int:
                 print(f"[fpm-tpu] debug: centerLED {cfg.center_led} not in "
                       "the loaded stack; skipping its debug image")
 
+        watchdog = None
+        if args.watchdog_timeout > 0:
+            from .utils.watchdog import Watchdog
+
+            watchdog = Watchdog(args.watchdog_timeout).start()
         done = start_iter
         while done < total:
             step = min(chunk, total - done)
@@ -429,6 +439,8 @@ def _cmd_run(args) -> int:
                     save_complex_img(arr, SHOW_COMPLEX_MAG, f"{base}_{name}")
             result = run_chunk(step, initial_state)
             done += step
+            if watchdog is not None:
+                watchdog.beat()
             initial_state = (result.obj_f_centered, result.pupil)
             logger.log("iterations", done=done,
                        data_residual=float(result.metrics["data_residual"][-1]),
@@ -448,6 +460,8 @@ def _cmd_run(args) -> int:
                     result.obj_f_centered, result.pupil, done,
                     meta=run_fp,
                 )
+        if watchdog is not None:
+            watchdog.stop()
 
     with phase("output", logger):
         save_results(result, args.output, cfg)
@@ -460,6 +474,7 @@ def _cmd_run(args) -> int:
 
 
 def _run_large_fov(args, cfg, logger) -> int:
+    import jax
     import numpy as np
 
     from .data.loader import load_dataset
@@ -468,20 +483,48 @@ def _run_large_fov(args, cfg, logger) -> int:
     from .utils.profiling import phase
 
     with phase("ingest", logger):
-        dataset = load_dataset(cfg, full_frames=True)
+        dataset = load_dataset(cfg, full_frames=True,
+                               use_native=False if args.no_native else None)
     rows, cols = args.fov_grid
-    print(f"[fpm-tpu] large-FOV: {rows}x{cols} tiles of Np={cfg.np_size}")
+    solver_kwargs = dict(
+        mode=args.mode, global_max=args.global_max,
+        chunk_size=args.chunk_size, chunk_assign=args.chunk_assign,
+        use_pallas=args.use_pallas, dft_precision=args.dft_precision,
+    )
 
+    n_dev = jax.device_count()
     with phase("solve", logger):
-        res = reconstruct_large_fov(
-            dataset.images, dataset.geom, cfg,
-            grid=(rows, cols), overlap=args.fov_overlap,
-            mode=args.mode, global_max=args.global_max,
-            chunk_size=args.chunk_size, chunk_assign=args.chunk_assign,
-            progress=lambda r, c, t: logger.log(
-                "tile", row=r, col=c,
-                data_residual=float(t.metrics["data_residual"][-1])),
-        )
+        if n_dev > 1:
+            # ROI parallelism: the production scale-out mode (SCALING.md) —
+            # every device solves its own tiles, zero per-sweep collectives.
+            from .parallel.roi_shard import (
+                make_roi_mesh,
+                reconstruct_large_fov_sharded,
+            )
+
+            print(f"[fpm-tpu] large-FOV: {rows}x{cols} tiles of "
+                  f"Np={cfg.np_size}, ROI-sharded over {n_dev} devices")
+            logger.log("solver_options", fov_grid=[rows, cols],
+                       roi_devices=n_dev, **{k: v for k, v in
+                                             solver_kwargs.items()})
+            res = reconstruct_large_fov_sharded(
+                dataset.images, dataset.geom, cfg,
+                grid=(rows, cols), overlap=args.fov_overlap,
+                mesh=make_roi_mesh(), **solver_kwargs,
+            )
+            for i, t in enumerate(res.tiles):
+                logger.log("tile", row=i // cols, col=i % cols,
+                           data_residual=float(t.metrics["data_residual"][-1]))
+        else:
+            print(f"[fpm-tpu] large-FOV: {rows}x{cols} tiles of Np={cfg.np_size}")
+            res = reconstruct_large_fov(
+                dataset.images, dataset.geom, cfg,
+                grid=(rows, cols), overlap=args.fov_overlap,
+                progress=lambda r, c, t: logger.log(
+                    "tile", row=r, col=c,
+                    data_residual=float(t.metrics["data_residual"][-1])),
+                **solver_kwargs,
+            )
 
     with phase("output", logger):
         np.save(os.path.join(args.output, "object_stitched.npy"), res.stitched)
@@ -511,7 +554,9 @@ def _run_rgb(args, cfg, logger) -> int:
             res = reconstruct(dataset.images, dataset.geom, ch_cfg,
                               mode=args.mode, global_max=args.global_max,
                               chunk_size=args.chunk_size,
-                              chunk_assign=args.chunk_assign)
+                              chunk_assign=args.chunk_assign,
+                              use_pallas=args.use_pallas,
+                              dft_precision=args.dft_precision)
         save_results(res, os.path.join(args.output, name), ch_cfg)
         amps.append(np.abs(res.obj_crop))
     rgb = np.stack(amps, axis=-1)

@@ -152,7 +152,9 @@ def load_dataset(
     ``use_native`` selects the C++ decode/preprocess path (default: auto —
     used when the shared library is built and files are TIFF).
     ``full_frames=True`` keeps whole camera frames (no ROI crop) for the
-    large-FOV tiling mode — Python decode path only.
+    large-FOV tiling mode (native decode too — the reference's own ingest
+    was 12% of its runtime, BASELINE.md, and wide-FOV stacks are the
+    largest).
     """
     found = scan_directory(cfg)
     if not found:
@@ -177,20 +179,31 @@ def load_dataset(
 
     if use_native is None:
         use_native = (
-            not full_frames
-            and native.available()
+            native.available()
             and cfg.file_extension.lower() in (".tif", ".tiff")
         )
 
     if full_frames:
-        frames, bgs_l = [], []
-        for i, led in enumerate(geom.led_numbers):
-            full = _decode_image(paths[led], cfg.color, cfg.color_channel)
-            frame, bg = preprocess_full_frame(full, cfg, geom.is_darkfield[i])
-            frames.append(frame)
-            bgs_l.append(bg)
-        images = np.stack(frames)
-        bgs = np.asarray(bgs_l, dtype=np.int16)
+        # Frame geometry from the first file (one cheap decode); the native
+        # path flags any differently-sized/unsupported file for Python
+        # fallback per file.
+        first = _decode_image(paths[int(geom.led_numbers[0])], cfg.color,
+                              cfg.color_channel)
+        if use_native:
+            images, bgs, status = native.load_frames(
+                [paths[n] for n in geom.led_numbers], cfg, geom.is_darkfield,
+                first.shape, num_threads,
+            )
+            fallback = np.nonzero(status)[0]
+        else:
+            images = np.empty((geom.num_leds,) + first.shape, dtype=np.uint16)
+            bgs = np.empty(geom.num_leds, dtype=np.int16)
+            fallback = np.arange(geom.num_leds)
+        for i in fallback:
+            full = _decode_image(paths[int(geom.led_numbers[i])], cfg.color,
+                                 cfg.color_channel)
+            images[i], bgs[i] = preprocess_full_frame(full, cfg,
+                                                      geom.is_darkfield[i])
     elif use_native:
         images, bgs, status = native.load_and_preprocess(
             [paths[n] for n in geom.led_numbers], cfg, geom.is_darkfield, num_threads

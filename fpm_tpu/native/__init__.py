@@ -34,11 +34,11 @@ def _load() -> ctypes.CDLL | None:
                 abi = lib.fpm_abi_version()
             except AttributeError:
                 abi = 1
-            if abi != 2:
+            if abi != 3:
                 import warnings
 
                 warnings.warn(
-                    f"stale native library (ABI {abi}, need 2) at {path}; "
+                    f"stale native library (ABI {abi}, need 3) at {path}; "
                     "rebuild with make -C fpm_tpu/native — using the Python "
                     "loader", stacklevel=2,
                 )
@@ -57,6 +57,23 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_int,                     # color channel (BGR idx; -1 = gray)
                 ctypes.c_int,                     # num threads (0 = auto)
                 ctypes.POINTER(ctypes.c_uint16),  # out images (n, np, np)
+                ctypes.POINTER(ctypes.c_int16),   # out bg values (n,)
+                ctypes.POINTER(ctypes.c_uint8),   # out per-image status
+            ]
+            lib.fpm_load_frames.restype = ctypes.c_int
+            lib.fpm_load_frames.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),  # paths
+                ctypes.c_int,                     # n images
+                ctypes.c_int, ctypes.c_int,       # frame_w, frame_h
+                ctypes.c_int,                     # np_size (bg windows)
+                ctypes.c_int, ctypes.c_int,       # bk1 x, y
+                ctypes.c_int, ctypes.c_int,       # bk2 x, y
+                ctypes.c_double,                  # bg_threshold
+                ctypes.c_int,                     # darkfield multiplier
+                ctypes.POINTER(ctypes.c_uint8),   # is_darkfield flags
+                ctypes.c_int,                     # color channel (BGR idx; -1 = gray)
+                ctypes.c_int,                     # num threads (0 = auto)
+                ctypes.POINTER(ctypes.c_uint16),  # out frames (n, h, w)
                 ctypes.POINTER(ctypes.c_int16),   # out bg values (n,)
                 ctypes.POINTER(ctypes.c_uint8),   # out per-image status
             ]
@@ -98,3 +115,36 @@ def load_and_preprocess(paths, cfg, is_darkfield, num_threads: int = 0):
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return images, bgs, status
+
+
+def load_frames(paths, cfg, is_darkfield, frame_shape, num_threads: int = 0):
+    """Decode + preprocess FULL camera frames (no ROI crop) natively.
+
+    The large-FOV ingest path (models/largefov.py): same darkfield and
+    background-subtract semantics as :func:`load_and_preprocess`, frames
+    kept whole for later overlapping-ROI cropping. ``frame_shape`` is the
+    expected (H, W); files of any other size (or unsupported encodings)
+    are flagged in ``status`` for the caller's per-file Python fallback.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run make -C fpm_tpu/native")
+    n = len(paths)
+    h, w = int(frame_shape[0]), int(frame_shape[1])
+    frames = np.empty((n, h, w), dtype=np.uint16)
+    bgs = np.empty(n, dtype=np.int16)
+    status = np.empty(n, dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    df = np.ascontiguousarray(np.asarray(is_darkfield), dtype=np.uint8)
+    lib.fpm_load_frames(
+        c_paths, n, w, h, cfg.np_size,
+        cfg.bk1_crop_x, cfg.bk1_crop_y, cfg.bk2_crop_x, cfg.bk2_crop_y,
+        float(cfg.bg_threshold), int(cfg.darkfield_exp_multiplier),
+        df.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        (cfg.color_channel if cfg.color else -1),
+        num_threads,
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        bgs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return frames, bgs, status

@@ -175,6 +175,10 @@ struct Job {
   int darkfield_mult;
   const uint8_t* is_darkfield;
   int color_channel;  // BGR index, -1 = grayscale
+  // Full-frame mode (large-FOV ingest): skip the ROI crop, write whole
+  // (frame_h, frame_w) frames; frames of any other size are flagged for
+  // the caller's Python fallback. frame_w == 0 selects ROI mode.
+  int frame_w = 0, frame_h = 0;
   uint16_t* out_images;
   int16_t* out_bgs;
   uint8_t* out_status;  // per image: 0 = ok, 1 = decode/crop failed
@@ -187,6 +191,7 @@ void worker(Job* job) {
   // quirk 3); TIFF stores RGB, so BGR idx 2 → RGB idx 0.
   int channel_rgb = -1;
   if (job->color_channel >= 0) channel_rgb = 2 - job->color_channel;
+  bool full_frame = job->frame_w > 0;
 
   for (;;) {
     int i = job->next.fetch_add(1);
@@ -197,8 +202,12 @@ void worker(Job* job) {
     // Unsupported encodings (compressed/tiled TIFF, other formats) are
     // flagged per-file; the caller re-decodes those through the Python
     // path instead of failing the whole stack.
-    if (!decode_tiff(job->paths[i], im, channel_rgb) ||
-        job->crop_x + n > im.w || job->crop_y + n > im.h) {
+    bool ok = decode_tiff(job->paths[i], im, channel_rgb);
+    if (ok) {
+      ok = full_frame ? (im.w == job->frame_w && im.h == job->frame_h)
+                      : (job->crop_x + n <= im.w && job->crop_y + n <= im.h);
+    }
+    if (!ok) {
       job->out_status[i] = 1;
       job->out_bgs[i] = 0;
       job->n_failed.fetch_add(1);
@@ -212,17 +221,20 @@ void worker(Job* job) {
     job->out_bgs[i] = (int16_t)bg_i;
 
     bool dark = job->is_darkfield[i] != 0 && job->darkfield_mult != 1;
-    uint16_t* dst = job->out_images + (size_t)i * n * n;
-    for (int y = 0; y < n; y++) {
-      const uint16_t* src =
-          im.data.data() + (size_t)(job->crop_y + y) * im.w + job->crop_x;
-      for (int x = 0; x < n; x++) {
+    int out_h = full_frame ? im.h : n;
+    int out_w = full_frame ? im.w : n;
+    int y0 = full_frame ? 0 : job->crop_y;
+    int x0 = full_frame ? 0 : job->crop_x;
+    uint16_t* dst = job->out_images + (size_t)i * out_h * out_w;
+    for (int y = 0; y < out_h; y++) {
+      const uint16_t* src = im.data.data() + (size_t)(y0 + y) * im.w + x0;
+      for (int x = 0; x < out_w; x++) {
         double v = src[x];
         if (dark) v = std::nearbyint(v / job->darkfield_mult);  // cvRound
         v -= bg_i;                                              // saturating
         if (v < 0) v = 0;
         if (v > 65535) v = 65535;
-        dst[(size_t)y * n + x] = (uint16_t)v;
+        dst[(size_t)y * out_w + x] = (uint16_t)v;
       }
     }
   }
@@ -230,9 +242,25 @@ void worker(Job* job) {
 
 }  // namespace
 
+namespace {
+
+int run_job(Job& job, int n, int num_threads) {
+  int nt = num_threads > 0 ? num_threads
+                           : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > n) nt = n;
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; t++) threads.emplace_back(worker, &job);
+  for (auto& t : threads) t.join();
+  return job.n_failed.load();  // count of per-file failures (see out_status)
+}
+
+}  // namespace
+
 // ABI version for the ctypes binding (fpm_tpu/native/__init__.py refuses a
 // stale prebuilt library instead of calling it with the wrong signature).
-extern "C" int fpm_abi_version() { return 2; }
+extern "C" int fpm_abi_version() { return 3; }
 
 extern "C" int fpm_load_stack(
     const char** paths, int n, int crop_x, int crop_y, int np_size, int bk1x,
@@ -256,14 +284,36 @@ extern "C" int fpm_load_stack(
   job.out_images = out_images;
   job.out_bgs = out_bgs;
   job.out_status = out_status;
+  return run_job(job, n, num_threads);
+}
 
-  int nt = num_threads > 0 ? num_threads
-                           : (int)std::thread::hardware_concurrency();
-  if (nt < 1) nt = 1;
-  if (nt > n) nt = n;
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
-  for (int t = 0; t < nt; t++) threads.emplace_back(worker, &job);
-  for (auto& t : threads) t.join();
-  return job.n_failed.load();  // count of per-file failures (see out_status)
+// Full-frame variant for the large-FOV ingest (models/largefov.py): same
+// decode + darkfield + background-subtract pipeline, no ROI crop. Frames
+// must all be (frame_h, frame_w); others are flagged for Python fallback.
+extern "C" int fpm_load_frames(
+    const char** paths, int n, int frame_w, int frame_h, int np_size,
+    int bk1x, int bk1y, int bk2x, int bk2y, double bg_threshold,
+    int darkfield_mult, const uint8_t* is_darkfield, int color_channel,
+    int num_threads, uint16_t* out_images, int16_t* out_bgs,
+    uint8_t* out_status) {
+  Job job;
+  job.paths = paths;
+  job.n = n;
+  job.crop_x = 0;
+  job.crop_y = 0;
+  job.np_size = np_size;  // background windows stay Np-sized
+  job.bk1x = bk1x;
+  job.bk1y = bk1y;
+  job.bk2x = bk2x;
+  job.bk2y = bk2y;
+  job.bg_threshold = bg_threshold;
+  job.darkfield_mult = darkfield_mult;
+  job.is_darkfield = is_darkfield;
+  job.color_channel = color_channel;
+  job.frame_w = frame_w;
+  job.frame_h = frame_h;
+  job.out_images = out_images;
+  job.out_bgs = out_bgs;
+  job.out_status = out_status;
+  return run_job(job, n, num_threads);
 }

@@ -25,21 +25,27 @@ from fpm_tpu.data.simulate import synthetic_dataset
 
 ds = synthetic_dataset(np_size=16, grid=5, seed=11)
 tile = int(sys.argv[2])
+use_pallas = len(sys.argv) > 3 and sys.argv[3] == "pallas"
+kw = dict(iterations=3, dtype="complex128")
+if use_pallas:
+    # f32 fused_chunk_increments body (interpret mode on CPU) under
+    # shard_map with vma=('led','tile') crossing a real process boundary.
+    kw.update(dtype="complex64", chunk_size=8, use_pallas=True,
+              dft_precision="highest")
 mesh = global_mesh(tile=tile)
 if tile == 1:
     from fpm_tpu.parallel.led_shard import reconstruct_led_sharded
-    res = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
-                                  iterations=3, dtype="complex128")
+    res = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh, **kw)
 else:
     from fpm_tpu.parallel.tile_shard import reconstruct_tile_sharded
-    res = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
-                                   iterations=3, dtype="complex128")
+    res = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh, **kw)
 if jax.process_index() == 0:
     np.save(sys.argv[1], res.obj_f_centered)
 """
 
 
-def _run_two_process(tmp_path, tile: int, devices_per_proc: int = 2) -> np.ndarray:
+def _run_two_process(tmp_path, tile: int, devices_per_proc: int = 2,
+                     pallas: bool = False) -> np.ndarray:
     port = _free_port()
     out = str(tmp_path / "objf.npy")
     procs = []
@@ -52,9 +58,12 @@ def _run_two_process(tmp_path, tile: int, devices_per_proc: int = 2) -> np.ndarr
             XLA_FLAGS=f"--xla_force_host_platform_device_count={devices_per_proc}",
             JAX_PLATFORM_NAME="cpu",
         )
+        argv = [sys.executable, "-c", WORKER, out, str(tile)]
+        if pallas:
+            argv.append("pallas")
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", WORKER, out, str(tile)],
+                argv,
                 env=env,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 stdout=subprocess.PIPE,
@@ -84,6 +93,23 @@ def test_two_process_led_sharded(tmp_path):
     ref = _reference()
     rel = np.abs(got - ref.obj_f_centered).max() / np.abs(ref.obj_f_centered).max()
     assert rel < 1e-10
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only harness")
+def test_two_process_tile_sharded_pallas_body(tmp_path):
+    """VERDICT r3 item 8: the fused_chunk_increments Pallas body (interpret
+    mode) with vma=('led','tile') and the reverse halo, exercised across a
+    real process boundary (tile=2 over 2 procs × 1 device). Must match the
+    single-process chunk8 batched solve at f32 tolerance."""
+    from fpm_tpu.data.simulate import synthetic_dataset
+    from fpm_tpu.models.epry import reconstruct
+
+    got = _run_two_process(tmp_path, tile=2, devices_per_proc=1, pallas=True)
+    ds = synthetic_dataset(np_size=16, grid=5, seed=11)
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
+                      dtype="complex64", mode="batched", chunk_size=8)
+    rel = np.abs(got - ref.obj_f_centered).max() / np.abs(ref.obj_f_centered).max()
+    assert rel < 1e-5
 
 
 @pytest.mark.skipif(sys.platform != "linux", reason="linux-only harness")

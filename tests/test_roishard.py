@@ -64,9 +64,10 @@ def test_roi_sharded_no_collectives(wide):
     amps_stack = jax.device_put(
         jnp.stack([amps] * 8), NamedSharding(mesh, P("roi"))
     )
+    valid = jax.device_put(jnp.ones(8, jnp.int32), NamedSharding(mesh, P("roi")))
     support_r = jnp.asarray(pupil_support(cfg, centered=False), jnp.float64)
     hlo = _run_roi_sharded.lower(
-        amps_stack, starts, support_r, opts, mesh
+        amps_stack, valid, starts, support_r, opts, mesh
     ).compile().as_text()
     sweep_collectives = [
         e for e in hlo_collective_inventory(hlo) if "/shard_map/" in e["line"]
