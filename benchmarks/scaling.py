@@ -196,7 +196,10 @@ def project_led(work: dict, sec_per_iter: float, devices=(2, 4, 8),
         rows.append({"devices": p, "axis": "led",
                      "n_chunks": m["n_chunks_per_sweep"],
                      "wire_mb_per_device": round(m["device_wire_bytes_per_sweep"] / 1e6, 3),
-                     **{kk: round(vv, 4) if isinstance(vv, float) else vv
+                     # 6 decimals: comm_s/compute_s are O(100 µs); 4 would
+                     # quantize them to 0.1 ms steps inconsistent with the
+                     # efficiency column (advisor r3 finding)
+                     **{kk: round(vv, 6) if isinstance(vv, float) else vv
                         for kk, vv in proj.items()}})
     return rows
 
@@ -253,7 +256,7 @@ def _measured_sec_per_iter() -> tuple[float | None, str]:
         if h.get("backend") == "tpu" and "seconds_per_iteration" in h:
             return float(h["seconds_per_iteration"]), (
                 f"bench.py headline ({h.get('mode')}, "
-                f"{h.get('value'):,} LED-frames/s)"
+                f"{h.get('value', 0):,} LED-frames/s)"
             )
     return None, "no measured TPU number found (run bench.py on the chip)"
 

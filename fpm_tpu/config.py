@@ -81,10 +81,32 @@ def _hole_positions_to_xyz(coords: np.ndarray | None) -> np.ndarray | None:
     filter keeps zero LEDs; the reference never noticed because it ignored
     the key entirely (fpmMain.cpp parses only ``holeCoordinates``) and
     silently fell back to its compiled-in dome — the same physical table.
+
+    The key is therefore (z, y, x) **by contract**; a user table storing
+    genuine (x, y, z) under it would be silently scrambled, so the result
+    is sanity-checked (advisor r3 finding): if the reversed reading is
+    geometrically implausible (nearly all LEDs at grazing NA ≥ 0.9) while
+    the raw reading is not, a warning names the likely cause.
     """
     if coords is None:
         return None
-    return coords[:, ::-1]
+    rev = coords[:, ::-1]
+
+    def _median_na(c):
+        r = np.hypot(c[:, 0], c[:, 1])
+        z = np.maximum(np.abs(c[:, 2]), 1e-12)
+        return float(np.median(np.sin(np.arctan2(r, z))))
+
+    if _median_na(rev) > 0.9 and _median_na(coords) <= 0.9:
+        import warnings
+
+        warnings.warn(
+            "holePositions is read as (z, y, x) by contract (the "
+            "cellscope2 convention), but this table only looks plausible "
+            "read as (x, y, z) — if your table stores (x, y, z), use the "
+            "holeCoordinates key instead", stacklevel=3,
+        )
+    return rev
 
 
 def default_dome_coordinates() -> np.ndarray:

@@ -148,3 +148,29 @@ def test_trailing_commas_jsoncpp_leniency(tmp_path):
     assert cfg.np_size == 32
     assert cfg.led_count == 1
     np.testing.assert_allclose(cfg.hole_coordinates, [[0.1, 0.2, 0.3]])
+
+
+def test_hole_positions_xyz_table_warns():
+    """holePositions is (z,y,x) by contract; a table that only makes sense
+    as (x,y,z) draws a warning instead of silent scrambling (advisor r3)."""
+    import warnings
+
+    import numpy as np
+
+    from fpm_tpu.config import _hole_positions_to_xyz
+
+    # Genuine (x,y,z) dome-like table: small lateral extent, z ~ 60mm.
+    rng = np.random.default_rng(0)
+    xy = rng.uniform(-0.03, 0.03, size=(50, 2))
+    z = np.full((50, 1), -0.055)
+    xyz = np.concatenate([xy, z], axis=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _hole_positions_to_xyz(xyz)
+    assert any("holePositions" in str(x.message) for x in w)
+
+    # The cellscope2-convention (z,y,x) table passes silently.
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _hole_positions_to_xyz(xyz[:, ::-1])
+    assert not w
