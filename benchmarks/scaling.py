@@ -44,6 +44,7 @@ SCALING_MD = os.path.join(_REPO, "SCALING.md")
 # path psums float32 (real, imag) planes → 8 bytes; the f64 parity path
 # (CPU cross-check) moves c128 → 16 bytes.
 F32_PLANES_BYTES = 8
+BF16_PLANES_BYTES = 4   # comm_precision='bf16': halved consensus payloads
 C128_BYTES = 16
 
 
@@ -62,14 +63,44 @@ def _sweep_collectives(hlo_text: str) -> list[dict]:
     return [e for e in hlo_collective_inventory(hlo_text) if "/shard_map/" in e["line"]]
 
 
+def _combined_match(want: list[int], got: list[int]) -> bool:
+    """True when ``got`` is exactly ``want`` up to XLA's all-reduce combining:
+    every got entry must equal the sum of a disjoint subset of want entries,
+    covering all of want (no bytes invented, none dropped). Brute-force over
+    subsets — the lists are a handful of entries."""
+    if sum(want) != sum(got):
+        return False
+    if not got:
+        return not want
+
+    def solve(remaining_want: tuple, remaining_got: tuple) -> bool:
+        if not remaining_got:
+            return not remaining_want
+        target, rest = remaining_got[0], remaining_got[1:]
+        n = len(remaining_want)
+        for bits in range(1, 1 << n):
+            sub = [remaining_want[i] for i in range(n) if bits >> i & 1]
+            if sum(sub) == target:
+                left = list(remaining_want)
+                for s in sub:
+                    left.remove(s)
+                if solve(tuple(left), rest):
+                    return True
+        return False
+
+    return solve(tuple(want), tuple(got))
+
+
 def _match_model(model: dict, inventory: list[dict], *, scalar_cutoff: int = 64):
     """Assert the analytic model's per-call payloads == what XLA emits.
 
-    Compares the multiset of non-scalar payloads exactly (psum/pmax ↔
-    all-reduce, ppermute ↔ collective-permute); scalar collectives (metric
-    psums, the pmax) are checked for presence only, because XLA combines
-    adjacent scalar all-reduces into one tuple-shaped op and widens f32
-    scalars to f64 under x64.
+    Compares the multiset of non-scalar payloads (psum/pmax ↔ all-reduce,
+    ppermute ↔ collective-permute), allowing XLA's all-reduce combiner to
+    merge adjacent psums — a merged op must account byte-exactly for a
+    disjoint subset of model payloads (``_combined_match``). Scalar
+    collectives (metric psums, the pmax) are checked for presence only,
+    because XLA combines adjacent scalar all-reduces into one tuple-shaped
+    op and widens f32 scalars to f64 under x64.
 
     Returns (ok, detail_dict). Model ``calls_per_sweep`` counts runtime scan
     trips; each per-chunk collective appears once in the scan body's HLO, so
@@ -99,7 +130,7 @@ def _match_model(model: dict, inventory: list[dict], *, scalar_cutoff: int = 64)
     n_scalar_got = sum(1 for e in inventory if e["bytes"] <= scalar_cutoff)
 
     ok = (
-        want_ar == got_ar
+        _combined_match(want_ar, got_ar)
         and want_pp == got_pp
         and (n_scalar_want == 0) == (n_scalar_got == 0)
     )
@@ -113,8 +144,17 @@ def _match_model(model: dict, inventory: list[dict], *, scalar_cutoff: int = 64)
     }
 
 
-def crosscheck_led(np_size=16, grid=5, chunk_size=8, n_led=8):
-    """Lower the led-sharded sweep on the fake mesh; model vs HLO."""
+def crosscheck_led(np_size=16, grid=5, chunk_size=8, n_led=8,
+                   dtype="complex128", use_pallas=False,
+                   comm_precision="f32", problem=None):
+    """Lower the led-sharded sweep on the fake mesh; model vs HLO.
+
+    ``use_pallas`` routes through the f32-planes Pallas body (payloads =
+    2 planes × 4 B = 8 B/sample; ``comm_precision='bf16'`` halves that to
+    4 B/sample — the weak-scaling lever whose bytes this verifies).
+    ``problem`` optionally supplies a prebuilt (cfg, geom, images) — used
+    for the realistic-shape (K=193, Np=90) crosscheck.
+    """
     import jax
 
     from fpm_tpu.data.simulate import synthetic_dataset
@@ -123,17 +163,28 @@ def crosscheck_led(np_size=16, grid=5, chunk_size=8, n_led=8):
     from fpm_tpu.parallel.mesh import make_mesh
 
     assert jax.default_backend() == "cpu" and len(jax.devices()) >= n_led
-    ds = synthetic_dataset(np_size=np_size, grid=grid, seed=3)
+    if problem is None:
+        ds = synthetic_dataset(np_size=np_size, grid=grid, seed=3)
+        cfg, geom, images = ds.cfg, ds.geom, ds.images
+    else:
+        cfg, geom, images = problem
     mesh = make_mesh(led=n_led, tile=1, devices=jax.devices()[:n_led])
+    kw = {}
+    if use_pallas:
+        kw = dict(use_pallas=True, comm_precision=comm_precision)
     args, opts = prepare_led_sharded(
-        ds.images, ds.geom, ds.cfg, mesh, iterations=1, dtype="complex128",
-        chunk_size=chunk_size,
+        images, geom, cfg, mesh, iterations=1, dtype=dtype,
+        chunk_size=chunk_size, **kw,
     )
     hlo = _run_led_sharded.lower(*args, opts, mesh).compile().as_text()
-    k = int(ds.geom.num_leds)
+    k = int(geom.num_leds)
+    if use_pallas:
+        dtype_bytes = 4 if comm_precision == "bf16" else 8  # (re, im) planes
+    else:
+        dtype_bytes = C128_BYTES if dtype == "complex128" else 8
     model = led_shard_comm(
-        ds.cfg.n_large, ds.cfg.np_size, k, chunk_size, n_led,
-        dtype_bytes=C128_BYTES,
+        cfg.n_large, cfg.np_size, k, chunk_size, n_led,
+        dtype_bytes=dtype_bytes,
     )
     ok, detail = _match_model(model, _sweep_collectives(hlo))
     return ok, {"what": "led_shard", "k": k, "n_led": n_led,
@@ -179,8 +230,14 @@ DOG = dict(n_large=600, np_size=200, k=137, chunk=32)
 
 
 def project_led(work: dict, sec_per_iter: float, devices=(2, 4, 8),
-                ici_gbs=45.0) -> list[dict]:
-    """Weak scaling over the LED axis: K·p LEDs total, K per device."""
+                ici_gbs=45.0, comm_bytes=F32_PLANES_BYTES,
+                pipelined=False) -> list[dict]:
+    """Weak scaling over the LED axis: K·p LEDs total, K per device.
+
+    ``comm_bytes`` = wire bytes per complex spectrum sample (8 = f32
+    planes; 4 = the ``comm_precision='bf16'`` lever). ``pipelined`` models
+    the ``stale_consensus`` lever (comm model docstring).
+    """
     from fpm_tpu.parallel.comm import led_shard_comm, project_weak_scaling
 
     rows = []
@@ -188,10 +245,12 @@ def project_led(work: dict, sec_per_iter: float, devices=(2, 4, 8),
         m = led_shard_comm(
             work["n_large"], work["np_size"], k=work["k"] * p,
             chunk_size=work["chunk"] * p, n_led=p,
-            dtype_bytes=F32_PLANES_BYTES,
+            dtype_bytes=comm_bytes,
         )
         proj = project_weak_scaling(
-            sec_per_iter, m["device_wire_bytes_per_sweep"], ici_bandwidth_gbs=ici_gbs
+            sec_per_iter, m["device_wire_bytes_per_sweep"],
+            ici_bandwidth_gbs=ici_gbs, pipelined=pipelined,
+            n_chunks=m["n_chunks_per_sweep"],
         )
         rows.append({"devices": p, "axis": "led",
                      "n_chunks": m["n_chunks_per_sweep"],
@@ -274,13 +333,17 @@ def _md_table(rows: list[dict]) -> str:
     return "\n".join(lines)
 
 
-def write_scaling_md(sec, source, roi_rows, led32, led96, tile_rows, checks):
+def write_scaling_md(sec, source, roi_rows, led32, led96, led_lever,
+                     tile_rows, checks):
     check_lines = "\n".join(
         f"* `{d['what']}` (k={d['k']}, chunks={d['n_chunks']}): "
         f"all-reduce payloads {d['hlo_allreduce_payloads']} B, "
         f"ppermute payloads {d['hlo_ppermute_payloads']} B — "
         f"{'MATCH' if ok else 'MISMATCH'}"
         for ok, d in checks
+    )
+    lever_summary = ", ".join(
+        f"p={r['devices']}: {r['efficiency'] * 100:.0f}%" for r in led_lever
     )
     body = f"""# SCALING — multi-chip scaling evidence (single-chip rig)
 
@@ -341,16 +404,28 @@ benchmarks/convergence.py — 3× fewer consensus rounds):
 
 {_md_table(led96)}
 
+chunk 96/device **with both round-4 levers** — `comm_precision='bf16'`
+(halves every consensus payload; payload bytes verified at the program
+level, tests/test_comm.py) + `stale_consensus` (one-chunk-stale pipelining:
+chunk c's all-reduce has no data dependence on chunk c+1's DFT compute, so
+it overlaps; convergence pinned at K=193 in
+tests/test_batched_convergence.py). Pipelined model:
+t = cc + max(cc, mc)·(n−1) + mc over n chunks:
+
+{_md_table(led_lever)}
+
 The mono workload is the *hardest* case for LED-axis weak scaling: per-LED
 compute is tiny (90² patches) while the object consensus moves the full
-360² spectrum every chunk. The model says it plainly: with zero overlap on
-one link direction, LED-sharding mono is comm-dominated at p≥4. At 2
-devices with chunk 96 — the BASELINE "2+ hosts" point — efficiency is
-{led96[0]['efficiency'] * 100:.0f}% on one link direction and
-~{min(99.0, 100 * sec / (sec + led96[0]['comm_s'] / 2)):.0f}% with
-bidirectional ring bandwidth. Levers beyond that: bf16 increments (halves
-every psum payload) and overlapping chunk c's psum with chunk c+1's DFT
-stage (sacrifices one chunk of Gauss–Seidel freshness).
+360² spectrum every chunk. Unlevered, LED-sharding mono is comm-dominated
+at p≥4 on one link direction. With the two implemented levers the model
+clears the ≥85% target at every projected device count
+({lever_summary})
+— on one ICI link direction, zero credit for bidirectional rings. The
+caveat stated plainly: the overlap itself cannot be *measured* on this
+single-chip rig; what is verified is (a) the dependence structure that
+permits it (the stale sweep's psums are issued before the next chunk's
+compute, parallel/led_shard.py), (b) the exact bytes on the wire, and
+(c) the stale trajectory's convergence.
 
 ### Tile-axis strong scaling — single ROI, fixed spectrum (mono)
 
@@ -402,11 +477,14 @@ def main(argv=None):
     roi_rows = project_roi(sec)
     led32 = project_led(MONO, sec)
     led96 = project_led({**MONO, "chunk": 96}, sec)
+    led_lever = project_led({**MONO, "chunk": 96}, sec,
+                            comm_bytes=BF16_PLANES_BYTES, pipelined=True)
     tile_rows = project_tile_strong(MONO, sec, devices=(2, 4))
-    for r in roi_rows + led32 + led96 + tile_rows:
+    for r in roi_rows + led32 + led96 + led_lever + tile_rows:
         print(json.dumps(r))
     if args.write_md:
-        write_scaling_md(sec, source, roi_rows, led32, led96, tile_rows, checks)
+        write_scaling_md(sec, source, roi_rows, led32, led96, led_lever,
+                         tile_rows, checks)
         print(json.dumps({"wrote": SCALING_MD}))
     return 0
 

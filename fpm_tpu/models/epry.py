@@ -84,6 +84,13 @@ class EPRYOptions:
     #                                   pupil-support bbox in the Pallas kernel
     n_large: int = 0
     dtype: str = "complex64"          # on-device complex dtype
+    comm_precision: str = "f32"       # sharded-sweep consensus payloads:
+    #                                   "f32" | "bf16" (halves every psum /
+    #                                   reverse-halo payload; Pallas bodies)
+    stale_consensus: bool = False     # one-chunk-stale consensus pipelining
+    #                                   (chunk c+1's increments computed
+    #                                   before chunk c's psum lands, so XLA
+    #                                   overlaps the all-reduce with compute)
 
     def __post_init__(self):
         if self.mode not in ("sequential", "batched"):
@@ -100,6 +107,16 @@ class EPRYOptions:
             )
         if self.chunk_size < 0:
             raise ValueError(f"chunk_size must be >= 0, got {self.chunk_size}")
+        if self.comm_precision not in ("f32", "bf16"):
+            raise ValueError(
+                f"comm_precision must be 'f32' or 'bf16', got {self.comm_precision!r}"
+            )
+        if self.comm_precision == "bf16" and not self.use_pallas:
+            raise ValueError(
+                "comm_precision='bf16' requires the Pallas (f32-planes) "
+                "sharded bodies; the XLA complex parity path keeps full-"
+                "precision consensus"
+            )
 
     @classmethod
     def from_config(cls, cfg: FPMConfig, **overrides) -> "EPRYOptions":

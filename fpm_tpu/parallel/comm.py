@@ -150,6 +150,8 @@ def project_weak_scaling(
     device_wire_bytes: float,
     ici_bandwidth_gbs: float = 45.0,
     overlap: float = 0.0,
+    pipelined: bool = False,
+    n_chunks: int = 1,
 ) -> dict:
     """Weak-scaling efficiency estimate at fixed per-device work.
 
@@ -159,15 +161,29 @@ def project_weak_scaling(
     v5e ICI link direction (~45 GB/s; a 2D-torus chip has more aggregate, so
     this is conservative). ``overlap`` ∈ [0, 1] is the fraction of comm
     hidden under compute (0 = fully exposed, the pessimistic bound).
+
+    ``pipelined`` models the one-chunk-stale consensus sweep
+    (``stale_consensus``, parallel/led_shard.py): chunk c's all-reduce has
+    no data dependence on chunk c+1's compute, so per-chunk comm overlaps
+    per-chunk compute — per sweep of ``n_chunks`` chunks,
+    ``t = cc + max(cc, mc)·(n_chunks−1) + mc`` with ``cc``/``mc`` the
+    per-chunk compute/comm times (prologue computes, epilogue communicates).
     """
     t_comm = device_wire_bytes / (ici_bandwidth_gbs * 1e9)
-    t_total = compute_s_per_sweep + (1.0 - overlap) * t_comm
+    if pipelined:
+        n = max(1, n_chunks)
+        cc = compute_s_per_sweep / n
+        mc = t_comm / n
+        t_total = cc + max(cc, mc) * (n - 1) + mc
+    else:
+        t_total = compute_s_per_sweep + (1.0 - overlap) * t_comm
     return {
         "compute_s": compute_s_per_sweep,
         "comm_s": t_comm,
         "efficiency": compute_s_per_sweep / t_total,
         "ici_bandwidth_gbs": ici_bandwidth_gbs,
         "overlap": overlap,
+        "pipelined": pipelined,
     }
 
 

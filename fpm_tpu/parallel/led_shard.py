@@ -43,63 +43,42 @@ from ..ops import crop_patch, fft2, fftshift2d, ifft2, ifftshift2d, paste_patch_
 from .mesh import make_mesh
 
 
-def _sharded_chunk_pallas(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
-    """Pallas-routed per-device chunk body (ops/pallas_kernels.py).
+def _chunk_increments(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
+    """This device's LOCAL increments for one chunk from the given state.
 
-    ``fused_chunk_increments`` computes this device's object increments and
-    the pupil EPRY numerator in one fused kernel (the chunk's LEDs batched
-    onto the MXU); the collectives stay out here exactly as in the XLA body:
-    object consensus psum → post-update global max|O| → pupil consensus
-    (the kernel's ``v`` omits the 1/max|O| factor, which commutes with
-    psum). f32 kernel arithmetic — opt-in for TPU scaling runs; the f64
-    parity path is the XLA body below.
-    """
-    import jax as _jax
-
-    from ..ops.pallas_kernels import fused_chunk_increments
-
-    o_planes = jnp.stack([jnp.real(obj_f), jnp.imag(obj_f)]).astype(jnp.float32)
-    p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
-    support_r = jnp.real(support).astype(jnp.float32)
-    d, v, mets = fused_chunk_increments(
-        o_planes, p_planes, support_r,
-        amps.astype(jnp.float32),
-        starts.reshape(-1).astype(jnp.int32),
-        (mask > 0).astype(jnp.int32),
-        np_size=opts.np_size,
-        n_rows=obj_f.shape[0], n_cols=obj_f.shape[1],
-        delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
-        interpret=_jax.default_backend() != "tpu",
-        dft_precision=opts.dft_precision,
-        pupil_radius=opts.pupil_radius,
-        collect_metrics=opts.collect_metrics,
-        vma=("led",),
-    )
-    d = jax.lax.psum(d, "led")
-    obj_f = obj_f + (d[0] + 1j * d[1]).astype(obj_f.dtype)
-    omax = jnp.max(jnp.abs(obj_f))
-
-    v = jax.lax.psum(v, "led")
-    d_pupil_sum = (v[0] + 1j * v[1]).astype(pupil.dtype) / omax
-    pupil = pupil + opts.pupil_step_scale * d_pupil_sum
-
-    rdt = jnp.abs(obj_f).dtype
-    mets = jax.lax.psum(mets.astype(rdt), "led")
-    return obj_f, pupil, mets
-
-
-def _sharded_chunk(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
-    """Per-device body of one Jacobi chunk (runs under shard_map).
-
-    ``amps``/``starts``/``mask`` hold this device's slice of the chunk;
-    ``obj_f``, ``pupil``, ``support`` are replicated.
+    Returns ``(d, v, mets)``: the object-spectrum increment, the pupil EPRY
+    numerator sum WITHOUT the 1/max|O| factor (a scalar divide that
+    commutes with psum and needs the post-consensus spectrum), and local
+    metric partials. The Pallas route returns f32 (2, N, N) planes
+    (fused_chunk_increments); the XLA route returns complex arrays.
+    Separated from consensus/apply so the stale-pipelined sweep can issue
+    chunk c's psum while computing chunk c+1's increments.
     """
     if opts.use_pallas:
-        return _sharded_chunk_pallas(obj_f, pupil, support, amps, starts, mask,
-                                     opts=opts)
+        import jax as _jax
+
+        from ..ops.pallas_kernels import fused_chunk_increments
+
+        o_planes = jnp.stack([jnp.real(obj_f), jnp.imag(obj_f)]).astype(jnp.float32)
+        p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
+        support_r = jnp.real(support).astype(jnp.float32)
+        return fused_chunk_increments(
+            o_planes, p_planes, support_r,
+            amps.astype(jnp.float32),
+            starts.reshape(-1).astype(jnp.int32),
+            (mask > 0).astype(jnp.int32),
+            np_size=opts.np_size,
+            n_rows=obj_f.shape[0], n_cols=obj_f.shape[1],
+            delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
+            interpret=_jax.default_backend() != "tpu",
+            dft_precision=opts.dft_precision,
+            pupil_radius=opts.pupil_radius,
+            collect_metrics=opts.collect_metrics,
+            vma=("led",),
+        )
+
     np_sz = opts.np_size
     m = mask[:, None, None]
-
     patches = jax.vmap(lambda s: crop_patch(obj_f, s, np_sz))(starts)
     objf_crop = fftshift2d(patches)
     objf_crop_p = objf_crop * pupil
@@ -118,22 +97,59 @@ def _sharded_chunk(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptio
     # LED block); mark it so under shard_map's varying-axis typing.
     acc0 = jax.lax.pcast(jnp.zeros_like(obj_f), ("led",), to="varying")
     d_obj_full, _ = jax.lax.scan(paste, acc0, (d_obj, starts))
-    # Object consensus: one all-reduce per chunk over the LED axis (N3).
-    d_obj_full = jax.lax.psum(d_obj_full, "led")
-    obj_f = obj_f + d_obj_full
 
+    # omax=1.0: the true 1/max|O| factor is applied after the consensus.
+    v = jnp.sum(_pupil_delta(diff, objf_crop, 1.0, support, opts.delta1) * m,
+                axis=0)
+    resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
+    upd = jnp.sum(jnp.abs(d_obj * m) ** 2)
+    return d_obj_full, v, jnp.stack([resid, upd])
+
+
+def _consensus_psum(d, v, mets, *, opts: EPRYOptions, axes="led"):
+    """The per-chunk all-reduces over the LED axis.
+
+    ``comm_precision='bf16'`` (Pallas f32-planes route only) casts the
+    object-increment and pupil-numerator payloads to bf16 before the psum —
+    halving every consensus payload on the wire (the weak-scaling lever,
+    SCALING.md) — and accumulates back in f32.
+    """
+    if opts.comm_precision == "bf16":
+        d = jax.lax.psum(d.astype(jnp.bfloat16), axes).astype(jnp.float32)
+        v = jax.lax.psum(v.astype(jnp.bfloat16), axes).astype(jnp.float32)
+    else:
+        d = jax.lax.psum(d, axes)
+        v = jax.lax.psum(v, axes)
+    mets = jax.lax.psum(mets, axes)
+    return d, v, mets
+
+
+def _apply_consensus(obj_f, pupil, d, v, *, opts: EPRYOptions):
+    """Apply psum'd increments: object add → global max|O| → pupil add."""
+    if not jnp.iscomplexobj(d):  # Pallas planes route
+        d = (d[0] + 1j * d[1]).astype(obj_f.dtype)
+        v = (v[0] + 1j * v[1]).astype(pupil.dtype)
+    obj_f = obj_f + d
     # Global max|O| of the *updated* spectrum — replicated here, but under
     # tile sharding this is the lax.pmax the reference's cv::minMaxLoc
     # becomes (fpmMain.cpp:467).
     omax = jnp.max(jnp.abs(obj_f))
+    pupil = pupil + opts.pupil_step_scale * v / omax
+    return obj_f, pupil
 
-    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1) * m
-    d_pupil_sum = jax.lax.psum(jnp.sum(d_pupil, axis=0), "led")
-    pupil = pupil + opts.pupil_step_scale * d_pupil_sum
 
-    resid = jax.lax.psum(jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2), "led")
-    upd = jax.lax.psum(jnp.sum(jnp.abs(d_obj * m) ** 2), "led")
-    return obj_f, pupil, jnp.stack([resid, upd])
+def _sharded_chunk(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
+    """Per-device body of one Jacobi chunk (runs under shard_map).
+
+    ``amps``/``starts``/``mask`` hold this device's slice of the chunk;
+    ``obj_f``, ``pupil``, ``support`` are replicated.
+    """
+    d, v, mets = _chunk_increments(obj_f, pupil, support, amps, starts, mask,
+                                   opts=opts)
+    rdt = jnp.abs(obj_f).dtype
+    d, v, mets = _consensus_psum(d, v, mets.astype(rdt), opts=opts)
+    obj_f, pupil = _apply_consensus(obj_f, pupil, d, v, opts=opts)
+    return obj_f, pupil, mets
 
 
 def _sharded_sweep(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptions):
@@ -141,16 +157,53 @@ def _sharded_sweep(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOptio
 
     ``amps`` (n_chunks, C_local, Np, Np), ``starts`` (n_chunks, C_local, 2),
     ``mask`` (n_chunks, C_local) are this device's slices.
-    """
-    def body(carry, inp):
-        obj_f, pupil = carry
-        a, s, m2 = inp
-        obj_f, pupil, met = _sharded_chunk(obj_f, pupil, support, a, s, m2,
-                                           opts=opts)
-        return (obj_f, pupil), met
 
-    (obj_f, pupil), mets = jax.lax.scan(body, (obj_f, pupil), (amps, starts, mask))
-    return obj_f, pupil, mets.sum(axis=0)
+    ``opts.stale_consensus`` software-pipelines the consensus: chunk c+1's
+    increments are computed from the state BEFORE chunk c's psum is applied
+    (one chunk of Gauss–Seidel freshness sacrificed — convergence pinned in
+    tests/test_batched_convergence.py), which removes the data dependence
+    between each chunk's all-reduce and the next chunk's DFT compute so
+    XLA's async collectives overlap them (the weak-scaling lever,
+    SCALING.md).
+    """
+    rdt = jnp.abs(obj_f).dtype
+
+    if not opts.stale_consensus:
+        def body(carry, inp):
+            obj_f, pupil = carry
+            a, s, m2 = inp
+            obj_f, pupil, met = _sharded_chunk(obj_f, pupil, support, a, s, m2,
+                                               opts=opts)
+            return (obj_f, pupil), met
+
+        (obj_f, pupil), mets = jax.lax.scan(body, (obj_f, pupil),
+                                            (amps, starts, mask))
+        return obj_f, pupil, mets.sum(axis=0)
+
+    # --- stale-pipelined: prologue computes chunk 0's increments; each scan
+    # step computes chunk c+1's increments (from the state still missing
+    # chunk c) while chunk c's psum+apply proceeds; epilogue applies the
+    # last pending chunk.
+    inc0 = _chunk_increments(obj_f, pupil, support, amps[0], starts[0],
+                             mask[0], opts=opts)
+
+    def body(carry, inp):
+        obj_f, pupil, (d_p, v_p, m_p) = carry
+        a, s, m2 = inp
+        # Independent of the pending psums → overlappable by XLA.
+        d_n, v_n, m_n = _chunk_increments(obj_f, pupil, support, a, s, m2,
+                                          opts=opts)
+        d_p, v_p, m_p = _consensus_psum(d_p, v_p, m_p.astype(rdt), opts=opts)
+        obj_f, pupil = _apply_consensus(obj_f, pupil, d_p, v_p, opts=opts)
+        return (obj_f, pupil, (d_n, v_n, m_n)), m_p
+
+    (obj_f, pupil, (d_l, v_l, m_l)), mets = jax.lax.scan(
+        body, (obj_f, pupil, inc0),
+        (amps[1:], starts[1:], mask[1:]),
+    )
+    d_l, v_l, m_l = _consensus_psum(d_l, v_l, m_l.astype(rdt), opts=opts)
+    obj_f, pupil = _apply_consensus(obj_f, pupil, d_l, v_l, opts=opts)
+    return obj_f, pupil, mets.sum(axis=0) + m_l
 
 
 @functools.partial(

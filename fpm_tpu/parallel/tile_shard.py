@@ -146,18 +146,35 @@ def _tile_chunk_pallas_tail(obj_f_local, ext, pupil, support, amps, starts_rel,
         collect_metrics=opts.collect_metrics,
         vma=("led", "tile"),
     )
-    d = jax.lax.psum(d, "led")
+    # comm_precision='bf16' halves the consensus + reverse-halo payloads
+    # on the wire (the weak-scaling lever, SCALING.md); f32 accumulate.
+    bf16_comm = opts.comm_precision == "bf16"
+    if bf16_comm:
+        d = jax.lax.psum(d.astype(jnp.bfloat16), "led").astype(jnp.float32)
+    else:
+        d = jax.lax.psum(d, "led")
     d_ext = (d[0] + 1j * d[1]).astype(ext.dtype)
 
     # reverse halo: increments in my halo rows belong to the next tile
     bwd = [(i, (i + 1) % n_tile) for i in range(n_tile)]
-    halo_back = jax.lax.ppermute(d_ext[s:], "tile", perm=bwd)
+    if bf16_comm:
+        back = jax.lax.ppermute(
+            jnp.stack([jnp.real(d_ext[s:]), jnp.imag(d_ext[s:])]
+                      ).astype(jnp.bfloat16),
+            "tile", perm=bwd,
+        ).astype(jnp.float32)
+        halo_back = (back[0] + 1j * back[1]).astype(ext.dtype)
+    else:
+        halo_back = jax.lax.ppermute(d_ext[s:], "tile", perm=bwd)
     d_local = d_ext[:s].at[:np_sz].add(halo_back)
     obj_f_local = obj_f_local + d_local
 
     omax = jax.lax.pmax(jnp.max(jnp.abs(obj_f_local)), "tile")
 
-    v = jax.lax.psum(v, ("led", "tile"))
+    if bf16_comm:
+        v = jax.lax.psum(v.astype(jnp.bfloat16), ("led", "tile")).astype(jnp.float32)
+    else:
+        v = jax.lax.psum(v, ("led", "tile"))
     d_pupil_sum = (v[0] + 1j * v[1]).astype(pupil.dtype) / omax
     pupil = pupil + opts.pupil_step_scale * d_pupil_sum
 

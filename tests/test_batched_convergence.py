@@ -85,3 +85,27 @@ def test_whole_sweep_jacobi_unstable_at_k193(problem):
                       mode="batched", chunk_size=0, collect_metrics=False)
     # measured: 0.132 vs 0.0139 — an order of magnitude worse
     assert _amp_rmse(jac.obj_crop, obj_true) > 3 * _amp_rmse(seq.obj_crop, obj_true)
+
+
+def test_stale_consensus_converges_at_k193(problem):
+    """The one-chunk-stale pipelined sweep (the weak-scaling overlap lever,
+    parallel/led_shard.py) must stay convergent at the realistic LED count:
+    chunk 32 strided, one chunk of Gauss-Seidel freshness given up."""
+    import jax
+
+    from fpm_tpu.parallel import make_mesh, reconstruct_led_sharded
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs fake-device mesh")
+    cfg, geom, images, obj_true = problem
+    seq = reconstruct(images, geom, cfg, iterations=8, dtype="complex64",
+                      collect_metrics=False)
+    stale = reconstruct_led_sharded(
+        images, geom, cfg, mesh=make_mesh(led=4, tile=1,
+                                          devices=jax.devices()[:4]),
+        iterations=8, dtype="complex64", chunk_size=32,
+        stale_consensus=True, collect_metrics=False,
+    )
+    r_seq = _amp_rmse(seq.obj_crop, obj_true)
+    r_stale = _amp_rmse(stale.obj_crop, obj_true)
+    assert r_stale < 1.5 * r_seq, (r_stale, r_seq)

@@ -78,3 +78,57 @@ def test_ring_allreduce_scaling():
     assert payloads[0] == 0  # single device: no wire bytes
     # 2(p-1)/p factor: p=8 moves 1.75x the bytes of p=2
     assert np.isclose(payloads[2] / payloads[1], 1.75, rtol=1e-6)
+
+
+def test_bf16_comm_all_reduces_are_bf16_in_the_program():
+    """The bf16 consensus lever really requests bf16 all-reduce payloads.
+
+    Checked at the StableHLO level: the XLA *CPU* backend widens bf16
+    collectives back to f32 during optimization (CpuFloatSupport), so the
+    post-optimization inventory can't show the halving on the test
+    backend — on TPU bf16 collectives are kept. The object-increment
+    (2, Nlarge, Nlarge) and pupil-numerator (2, Np, Np) psums must both
+    appear as bf16 all_reduces in the lowered program."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpm_tpu.data.simulate import synthetic_dataset
+    from fpm_tpu.parallel.led_shard import _run_led_sharded, prepare_led_sharded
+    from fpm_tpu.parallel.mesh import make_mesh
+
+    ds = synthetic_dataset(np_size=16, grid=5, seed=3)
+    mesh = make_mesh(led=8, tile=1)
+    args, opts = prepare_led_sharded(
+        ds.images, ds.geom, ds.cfg, mesh, iterations=1, dtype="complex64",
+        chunk_size=8, use_pallas=True, comm_precision="bf16",
+    )
+    txt = _run_led_sharded.lower(*args, opts, mesh).as_text()
+    nl = ds.cfg.n_large
+    assert f"tensor<2x{nl}x{nl}xbf16>" in txt, "object psum not bf16"
+    assert f"tensor<2x{ds.cfg.np_size}x{ds.cfg.np_size}xbf16>" in txt, \
+        "pupil psum not bf16"
+    # and the f32 run does NOT carry bf16 spectra
+    args2, opts2 = prepare_led_sharded(
+        ds.images, ds.geom, ds.cfg, mesh, iterations=1, dtype="complex64",
+        chunk_size=8, use_pallas=True,
+    )
+    txt2 = _run_led_sharded.lower(*args2, opts2, mesh).as_text()
+    assert f"tensor<2x{nl}x{nl}xbf16>" not in txt2
+
+
+def test_led_model_matches_hlo_realistic_shape():
+    """VERDICT r3 item 9: the crosscheck at the real mono headline shape
+    (K=193, Np=90, Nlarge=360), not just the toy problem."""
+    from fpm_tpu.config import FPMConfig
+    from fpm_tpu.data.simulate import make_test_object, simulate_images
+    from fpm_tpu.geometry import compute_geometry
+
+    cfg = FPMConfig(max_illumination_na=0.45, np_size=90, iterations=1)
+    geom = compute_geometry(cfg)
+    assert geom.num_leds == 193
+    obj_true = make_test_object(cfg.n_large, seed=0)
+    images = simulate_images(obj_true, geom, cfg, quantize=True)
+    ok, detail = crosscheck_led(chunk_size=32, n_led=8,
+                                problem=(cfg, geom, images))
+    assert ok, detail
+    assert detail["n_chunks"] == 7

@@ -149,3 +149,75 @@ def test_tile_shard_rejects_small_tiles(ds):
 
     with pytest.raises(ValueError, match="halo"):
         partition_leds_by_tile(ds.geom, 48, 6, 1, 16)  # tile height 8 < Np 16
+
+
+def test_stale_consensus_mesh_invariant(ds):
+    """One-chunk-stale pipelining (the weak-scaling overlap lever) is a
+    well-defined SPMD trajectory: identical across mesh sizes up to
+    reduction order."""
+    a = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg,
+                                mesh=make_mesh(led=8, tile=1),
+                                iterations=4, dtype="complex128",
+                                chunk_size=8, stale_consensus=True)
+    b = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg,
+                                mesh=make_mesh(led=2, tile=1,
+                                               devices=jax.devices()[:2]),
+                                iterations=4, dtype="complex128",
+                                chunk_size=8, stale_consensus=True)
+    assert _rel(a.obj_f_centered, b.obj_f_centered) < 1e-10
+    assert _rel(a.pupil, b.pupil) < 1e-10
+    # ...and it is a *different* trajectory from the fresh-consensus sweep
+    # (one chunk of Gauss-Seidel freshness given up), not a silent no-op.
+    fresh = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg,
+                                    mesh=make_mesh(led=8, tile=1),
+                                    iterations=4, dtype="complex128",
+                                    chunk_size=8)
+    assert _rel(a.obj_f_centered, fresh.obj_f_centered) > 1e-8
+
+
+def test_stale_consensus_single_chunk_equals_fresh(ds):
+    """With one chunk per sweep there is nothing to pipeline: stale and
+    fresh sweeps are the same trajectory."""
+    kw = dict(mesh=make_mesh(led=8, tile=1), iterations=3,
+              dtype="complex128", chunk_size=0)
+    a = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg,
+                                stale_consensus=True, **kw)
+    b = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, **kw)
+    assert _rel(a.obj_f_centered, b.obj_f_centered) < 1e-12
+
+
+def test_bf16_comm_close_to_f32(ds):
+    """comm_precision='bf16' (halved consensus payloads) stays close to the
+    f32-comm trajectory and still converges to the truth."""
+    mesh = make_mesh(led=8, tile=1)
+    kw = dict(mesh=mesh, iterations=6, dtype="complex64", chunk_size=8,
+              use_pallas=True, dft_precision="highest")
+    f32 = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, **kw)
+    b16 = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg,
+                                  comm_precision="bf16", **kw)
+    assert _rel(b16.obj_f_centered, f32.obj_f_centered) < 0.05
+
+    def amp_rmse(res):
+        a, t = np.abs(res.obj_crop), np.abs(ds.object_true)
+        s = (t * a).sum() / (a * a).sum()
+        return float(np.sqrt(((a * s - t) ** 2).mean()) / t.mean())
+
+    assert amp_rmse(b16) < 1.3 * amp_rmse(f32) + 0.01
+
+
+def test_bf16_comm_requires_pallas(ds):
+    with pytest.raises(ValueError, match="bf16"):
+        reconstruct_led_sharded(ds.images, ds.geom, ds.cfg,
+                                mesh=make_mesh(led=8, tile=1),
+                                iterations=1, dtype="complex128",
+                                comm_precision="bf16")
+
+
+def test_tile_sharded_bf16_comm_close_to_f32(ds):
+    mesh = make_mesh(led=2, tile=2, devices=jax.devices()[:4])
+    kw = dict(mesh=mesh, iterations=4, dtype="complex64", chunk_size=8,
+              use_pallas=True, dft_precision="highest")
+    f32 = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, **kw)
+    b16 = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg,
+                                   comm_precision="bf16", **kw)
+    assert _rel(b16.obj_f_centered, f32.obj_f_centered) < 0.05
