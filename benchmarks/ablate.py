@@ -115,10 +115,73 @@ def time_variant(cfg, amps, starts, o, p, sup, *, ablate, dft_precision,
     return (t_hi - t_lo) / ((s_hi - s_lo) * k)
 
 
+CHUNKED_VARIANTS = ["", "no-dft", "no-window-read", "no-window-write",
+                    "omax-const", "no-pupil-acc", "dft-1pass"]
+
+
+def time_chunked_variant(cfg, amps, starts, o, p, sup, *, chunk, ablate,
+                         dft_precision, pupil_radius, s_lo=10, s_hi=110,
+                         reps=8):
+    """Per-slot seconds of the chunked kernel (same differential rig)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from fpm_tpu.models.epry import chunk_schedule
+    from fpm_tpu.ops.pallas_kernels import fused_epry_chunked
+
+    k = amps.shape[0]
+    perm, mask_np, n_chunks = chunk_schedule(k, chunk, "strided")
+    pad = perm.size - k
+    a, s = amps, starts
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+        s = jnp.concatenate([s, jnp.zeros((pad, 2), s.dtype)])
+    c = perm.size // n_chunks
+    amps_it = a[jnp.asarray(perm)].reshape(n_chunks, c, *a.shape[1:])
+    starts_flat = s[jnp.asarray(perm)].reshape(-1).astype(jnp.int32)
+    valid = jnp.asarray((mask_np > 0).astype("int32"))
+    n_slots = perm.size
+
+    @functools.partial(jax.jit, static_argnames=("n_sweeps",))
+    def run_sweeps(o, p, sup, amps_it, starts_flat, valid, n_sweeps):
+        def body(carry, _):
+            o, p = carry
+            o, p, _m = fused_epry_chunked(
+                o, p, sup, amps_it, starts_flat, valid,
+                np_size=cfg.np_size, n_large=cfg.n_large,
+                delta1=cfg.delta1, delta2=cfg.delta2, eps=cfg.eps,
+                dft_precision=dft_precision, pupil_radius=pupil_radius,
+                ablate=ablate,
+            )
+            return (o, p), None
+
+        (o, p), _ = jax.lax.scan(body, (o, p), None, length=n_sweeps)
+        return jnp.sum(p)
+
+    def one(n_sweeps):
+        t0 = time.perf_counter()
+        float(run_sweeps(o, p, sup, amps_it, starts_flat, valid, n_sweeps))
+        return time.perf_counter() - t0
+
+    one(s_lo), one(s_hi)
+    t_lo = t_hi = None
+    for _ in range(reps):
+        tl, th = one(s_lo), one(s_hi)
+        t_lo = tl if t_lo is None else min(t_lo, tl)
+        t_hi = th if t_hi is None else min(t_hi, th)
+    return (t_hi - t_lo) / ((s_hi - s_lo) * n_slots)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--chunked", action="store_true",
+                    help="ablate the chunked (headline) kernel instead of "
+                         "the sequential one")
+    ap.add_argument("--chunk", type=int, default=32)
     args = ap.parse_args(argv)
 
     import jax
@@ -133,6 +196,28 @@ def main(argv=None):
     radius = _pupil_radius(cfg)
     rows = []
     base_ns = None
+
+    if args.chunked:
+        for ablate in CHUNKED_VARIANTS:
+            sec = time_chunked_variant(
+                cfg, amps, starts, o, p, sup, chunk=args.chunk,
+                ablate=ablate, dft_precision="bf16x3", pupil_radius=radius,
+                reps=args.reps,
+            )
+            ns = sec * 1e9
+            row = {"kernel": "chunked", "chunk": args.chunk,
+                   "ablate": ablate or "(full)", "ns_per_slot": round(ns, 1)}
+            if ablate == "":
+                base_ns = ns
+            else:
+                row["delta_vs_full_ns"] = round(ns - base_ns, 1)
+            print(json.dumps(row), flush=True)
+            rows.append(row)
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(rows, f, indent=2)
+        return 0
+
     configs = (
         [("bf16x3", a, radius, "exact") for a in VARIANTS]
         + [

@@ -531,7 +531,7 @@ def _window_offsets(starts_ref, idx, lo):
 def _batched_chunk_forward(
     o_ref, p_r, p_i, amp2d, starts_ref, base, mats, *,
     chunk: int, np_size: int, bbox: int, bbox_lo: int, win: int,
-    lane_blk: int, eps: float, dft_precision: str,
+    lane_blk: int, eps: float, dft_precision: str, ablate: str = "",
 ):
     """Forward pass of one Jacobi chunk, all LEDs batched onto the MXU.
 
@@ -553,38 +553,54 @@ def _batched_chunk_forward(
     np8 = _round_up(n, 8)
     nl = _round_up(n, 128)
     bl = _round_up(b, 128)
-    mm_left, mm_right, per = _mm_fns(dft_precision)
+    mm_left, mm_right, per = _mm_fns(dft_precision, ablate)
     ms_li, ms_ri, ms_lf, ms_rf = (mats[i * per:(i + 1) * per] for i in range(4))
 
     offs, oc_r, oc_i, ocp_r, ocp_i = [], [], [], [], []
     for j in range(c):
         ys0, dy, xs0, dx = _window_offsets(starts_ref, base + j, lo)
         offs.append((ys0, dy, xs0, dx))
-        r = _read_window(o_ref, 0, ys0, dy, xs0, dx, b, win, lane_blk)
-        i_ = _read_window(o_ref, 1, ys0, dy, xs0, dx, b, win, lane_blk)
+        if ablate == "no-window-read":
+            r = o_ref[0, 0:b, 0:b]
+            i_ = o_ref[1, 0:b, 0:b]
+        else:
+            r = _read_window(o_ref, 0, ys0, dy, xs0, dx, b, win, lane_blk)
+            i_ = _read_window(o_ref, 1, ys0, dy, xs0, dx, b, win, lane_blk)
         oc_r.append(r)
         oc_i.append(i_)
         ocp_r.append(r * p_r - i_ * p_i)
         ocp_i.append(r * p_i + i_ * p_r)
 
-    # ifft rows: one (2·np8, 2b) @ (2b, C·b) matmul for the whole chunk
-    zs = jnp.concatenate(
-        [jnp.concatenate([ocp_r[j], ocp_i[j]], axis=0) for j in range(c)], axis=1
-    )                                                   # (2b, C·b)
-    t = mm_left(ms_li, zs)                              # (2·np8, C·b)
-    # ifft cols: per-LED (re | im) lane concat, LEDs stacked along rows
-    ts = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [t[0:np8, j * b:(j + 1) * b], t[np8:, j * b:(j + 1) * b]], axis=1
-            )
-            for j in range(c)
-        ],
-        axis=0,
-    )                                                   # (C·np8, 2b)
-    img2 = mm_right(ts, ms_ri)                          # (C·np8, 2·nl)
-    img_r = img2[:, 0:nl]
-    img_i = img2[:, nl:]
+    if ablate == "no-dft":
+        img_r = jnp.concatenate(
+            [jnp.pad(ocp_r[j], ((0, np8 - b), (0, nl - b))) for j in range(c)],
+            axis=0,
+        )
+        img_i = jnp.concatenate(
+            [jnp.pad(ocp_i[j], ((0, np8 - b), (0, nl - b))) for j in range(c)],
+            axis=0,
+        )
+    else:
+        # ifft rows: one (2·np8, 2b) @ (2b, C·b) matmul for the whole chunk
+        zs = jnp.concatenate(
+            [jnp.concatenate([ocp_r[j], ocp_i[j]], axis=0) for j in range(c)],
+            axis=1,
+        )                                               # (2b, C·b)
+        t = mm_left(ms_li, zs)                          # (2·np8, C·b)
+        # ifft cols: per-LED (re | im) lane concat, LEDs stacked along rows
+        ts = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [t[0:np8, j * b:(j + 1) * b], t[np8:, j * b:(j + 1) * b]],
+                    axis=1,
+                )
+                for j in range(c)
+            ],
+            axis=0,
+        )                                               # (C·np8, 2b)
+        img2 = mm_right(ts, ms_ri)                      # (C·np8, 2·nl)
+        img_r = img2[:, 0:nl]
+        img_i = img2[:, nl:]
 
     # amplitude replacement, whole chunk at once (fpmMain.cpp:377-394);
     # eps on the real part only. Padded rows: img = 0, amp = 0 → rep = 0.
@@ -592,6 +608,11 @@ def _batched_chunk_forward(
     scale = amp2d * jax.lax.rsqrt(mag2)
     rep_r = img_r * scale
     rep_i = img_i * scale
+
+    if ablate == "no-dft":
+        d_r = [rep_r[j * np8:j * np8 + b, 0:b] - ocp_r[j] for j in range(c)]
+        d_i = [rep_i[j * np8:j * np8 + b, 0:b] - ocp_i[j] for j in range(c)]
+        return offs, oc_r, oc_i, d_r, d_i, img_r, img_i
 
     # fft rows
     zs3 = jnp.concatenate(
@@ -631,6 +652,7 @@ def _chunked_kernel(
     chunk: int, np_size: int, bbox: int, bbox_lo: int, win: int,
     lane_blk: int, n_mats: int, delta1: float, delta2: float, eps: float,
     pupil_step_scale: float, dft_precision: str, collect_metrics: bool,
+    forward_stages: int, ablate: str,
 ):
     """One grid step = one Jacobi chunk, updates applied in place.
 
@@ -642,6 +664,15 @@ def _chunked_kernel(
     With ``collect_metrics`` the (data-residual, update-norm) sums are
     accumulated across chunks into the SMEM metrics output — the same
     per-sweep convergence telemetry the XLA path emits (VERDICT r3 item 5).
+
+    ``forward_stages`` splits the chunk's forward pass into sub-batches:
+    because Jacobi computes every increment from the chunk-start state,
+    stage s+1's VPU window reads are independent of stage s's MXU DFT
+    chain (all o_ref writes happen after every stage), so Mosaic can
+    overlap them — bitwise-identical results (the windows are read from
+    the unmodified spectrum and written in the same j order), measured
+    round 4 (benchmarks/ablate_r4_chunked.json): the window traffic is
+    ~40% of the chunk wall with a fully additive schedule at 1 stage.
     """
     n, b = np_size, bbox
     amp_ref, sup_ref = refs[0], refs[1]
@@ -660,23 +691,34 @@ def _chunked_kernel(
         mets_ref[0] = jnp.zeros((), jnp.float32)
         mets_ref[1] = jnp.zeros((), jnp.float32)
 
-    offs, oc_r, oc_i, d_r, d_i, img_r, img_i = _batched_chunk_forward(
-        o_ref, p_r, p_i, amp_ref[0], starts_ref, base, mats,
-        chunk=chunk, np_size=n, bbox=b, bbox_lo=bbox_lo, win=win,
-        lane_blk=lane_blk, eps=eps, dft_precision=dft_precision,
-    )
-
+    np8 = _round_up(n, 8)
+    stage = chunk if forward_stages <= 1 else -(-chunk // forward_stages)
+    amp2d = amp_ref[0]
+    offs, oc_r, oc_i, d_r, d_i = [], [], [], [], []
+    resid = jnp.zeros((), jnp.float32)
+    for st0 in range(0, chunk, stage):
+        c_st = min(stage, chunk - st0)
+        offs_s, ocr_s, oci_s, dr_s, di_s, img_r, img_i = _batched_chunk_forward(
+            o_ref, p_r, p_i, amp2d[st0 * np8:(st0 + c_st) * np8, :],
+            starts_ref, base + st0, mats,
+            chunk=c_st, np_size=n, bbox=b, bbox_lo=bbox_lo, win=win,
+            lane_blk=lane_blk, eps=eps, dft_precision=dft_precision,
+            ablate=ablate,
+        )
+        offs += offs_s
+        oc_r += ocr_s
+        oc_i += oci_s
+        d_r += dr_s
+        d_i += di_s
+        if collect_metrics:
+            # data residual Σ m·(A − |img|)² (padded rows: amp = img = 0)
+            absimg = jnp.sqrt(img_r * img_r + img_i * img_i)
+            for j in range(c_st):
+                rows = slice(j * np8, (j + 1) * np8)
+                vm = valid_ref[base + st0 + j].astype(jnp.float32)
+                term = amp2d[(st0 + j) * np8:(st0 + j + 1) * np8, :] - absimg[rows, :]
+                resid = resid + vm * jnp.sum(term * term)
     if collect_metrics:
-        # data residual Σ m·(A − |img|)² (padded rows: amp = img = 0)
-        np8 = _round_up(n, 8)
-        absimg = jnp.sqrt(img_r * img_r + img_i * img_i)
-        amp2d = amp_ref[0]
-        resid = jnp.zeros((), jnp.float32)
-        for j in range(chunk):
-            rows = slice(j * np8, (j + 1) * np8)
-            vm = valid_ref[base + j].astype(jnp.float32)
-            term = amp2d[rows, :] - absimg[rows, :]
-            resid = resid + vm * jnp.sum(term * term)
         mets_ref[0] = mets_ref[0] + resid
 
     # --- object update from the chunk-start pupil (fpmMain.cpp:404-447)
@@ -693,6 +735,8 @@ def _chunked_kernel(
         if collect_metrics:
             vm = valid_ref[base + j].astype(jnp.float32)
             upd = upd + vm * jnp.sum(do_r * do_r + do_i * do_i)
+        if ablate == "no-window-write":
+            continue
 
         @pl.when(valid_ref[base + j] > 0)
         def _add(do_r=do_r, do_i=do_i, off=offs[j]):
@@ -703,22 +747,28 @@ def _chunked_kernel(
 
     # --- post-update global max|O| (one full fold per chunk; the padded
     # border is exactly zero so it cannot win the max)
-    omax = jnp.sqrt(jnp.max(o_ref[0][...] ** 2 + o_ref[1][...] ** 2))
+    if ablate == "omax-const":
+        omax = 1.0 + jnp.float32(k)  # keep data dependence, skip the fold
+    else:
+        omax = jnp.sqrt(jnp.max(o_ref[0][...] ** 2 + o_ref[1][...] ** 2))
 
     # --- pupil consensus: masked sum of per-LED EPRY increments
     sup = sup_ref[...]
     acc_r = jnp.zeros((b, b), jnp.float32)
     acc_i = jnp.zeros((b, b), jnp.float32)
     recip_max = 1.0 / omax
-    for j in range(chunk):
-        oabs2 = oc_r[j] * oc_r[j] + oc_i[j] * oc_i[j]
-        oabs = jnp.sqrt(oabs2)
-        recip_p = recip_max / (oabs2 + delta1)
-        vr = oabs * oc_r[j] * recip_p * sup
-        vi = -oabs * oc_i[j] * recip_p * sup
-        vm = valid_ref[base + j].astype(jnp.float32)
-        acc_r = acc_r + vm * (d_r[j] * vr - d_i[j] * vi)
-        acc_i = acc_i + vm * (d_r[j] * vi + d_i[j] * vr)
+    if ablate == "no-pupil-acc":
+        acc_r = acc_r + 0.0 * (d_r[0] * recip_max)  # keep data dependence
+    else:
+        for j in range(chunk):
+            oabs2 = oc_r[j] * oc_r[j] + oc_i[j] * oc_i[j]
+            oabs = jnp.sqrt(oabs2)
+            recip_p = recip_max / (oabs2 + delta1)
+            vr = oabs * oc_r[j] * recip_p * sup
+            vi = -oabs * oc_i[j] * recip_p * sup
+            vm = valid_ref[base + j].astype(jnp.float32)
+            acc_r = acc_r + vm * (d_r[j] * vr - d_i[j] * vi)
+            acc_i = acc_i + vm * (d_r[j] * vi + d_i[j] * vr)
     p_ref[0] = p_r + pupil_step_scale * acc_r
     p_ref[1] = p_i + pupil_step_scale * acc_i
 
@@ -728,7 +778,7 @@ def _chunked_kernel(
     static_argnames=(
         "np_size", "n_large", "delta1", "delta2", "eps", "interpret",
         "dft_precision", "pupil_radius", "pupil_step_scale",
-        "collect_metrics",
+        "collect_metrics", "forward_stages", "ablate",
     ),
 )
 def fused_epry_chunked(
@@ -749,6 +799,8 @@ def fused_epry_chunked(
     pupil_radius: int = 0,
     pupil_step_scale: float = 1.0,
     collect_metrics: bool = False,
+    forward_stages: int = 1,
+    ablate: str = "",
 ):
     """One chunked Gauss–Seidel-over-Jacobi sweep as a single Pallas kernel.
 
@@ -769,13 +821,14 @@ def fused_epry_chunked(
             f"dft_precision must be 'bf16x3' or 'highest', got {dft_precision!r}"
         )
     n_chunks, c = amps.shape[0], amps.shape[1]
-    if not interpret and c * _round_up(np_size, 8) > _CHUNK_ROWS_LIMIT:
+    stage = c if forward_stages <= 1 else -(-c // forward_stages)
+    if not interpret and stage * _round_up(np_size, 8) > _CHUNK_ROWS_LIMIT:
         raise ValueError(
-            f"chunk of {c} LEDs at Np={np_size} exceeds the fused chunked "
-            f"kernel's compile ceiling ({c * _round_up(np_size, 8)} stacked "
-            f"rows > {_CHUNK_ROWS_LIMIT}); use chunk_size <= "
-            f"{max_pallas_chunk(np_size)} (models.epry.reconstruct clamps "
-            "this automatically)"
+            f"forward stage of {stage} LEDs at Np={np_size} exceeds the "
+            f"fused chunked kernel's compile ceiling "
+            f"({stage * _round_up(np_size, 8)} stacked rows > "
+            f"{_CHUNK_ROWS_LIMIT}); raise forward_stages (or use "
+            f"chunk_size <= {max_pallas_chunk(np_size)})"
         )
     n = np_size
     b, lo = _support_bbox(n, pupil_radius)
@@ -830,7 +883,8 @@ def fused_epry_chunked(
         lane_blk=lane_blk, n_mats=n_mats,
         delta1=delta1, delta2=delta2, eps=eps,
         pupil_step_scale=pupil_step_scale, dft_precision=dft_precision,
-        collect_metrics=collect_metrics,
+        collect_metrics=collect_metrics, forward_stages=forward_stages,
+        ablate=ablate,
     )
     o_out, p_out, mets = pl.pallas_call(
         kernel,
