@@ -400,17 +400,22 @@ chunk 32/device:
 {_md_table(led32)}
 
 chunk 96/device (convergent at stride ≥4 on all dome problems,
-benchmarks/convergence.py — 3× fewer consensus rounds):
+benchmarks/convergence.py — 3× fewer consensus rounds; realizable only
+through the XLA body: the fused chunk kernel's compile ceiling caps
+per-device chunks at 34 for Np=90, ops/pallas_kernels.py):
 
 {_md_table(led96)}
 
-chunk 96/device **with both round-4 levers** — `comm_precision='bf16'`
+chunk 32/device **with both round-4 levers** — `comm_precision='bf16'`
 (halves every consensus payload; payload bytes verified at the program
 level, tests/test_comm.py) + `stale_consensus` (one-chunk-stale pipelining:
 chunk c's all-reduce has no data dependence on chunk c+1's DFT compute, so
 it overlaps; convergence pinned at K=193 in
-tests/test_batched_convergence.py). Pipelined model:
-t = cc + max(cc, mc)·(n−1) + mc over n chunks:
+tests/test_batched_convergence.py). Pipelining hides per-chunk comm under
+per-chunk compute whenever mc < cc — chunk 32's 7 chunks/sweep give
+cc ≈ 25 µs against mc ≈ 12–21 µs at p=2–8, so the smaller chunk is the
+BETTER levered configuration (and the one the headline kernel compiles).
+Pipelined model: t = cc + max(cc, mc)·(n−1) + mc over n chunks:
 
 {_md_table(led_lever)}
 
@@ -477,7 +482,12 @@ def main(argv=None):
     roi_rows = project_roi(sec)
     led32 = project_led(MONO, sec)
     led96 = project_led({**MONO, "chunk": 96}, sec)
-    led_lever = project_led({**MONO, "chunk": 96}, sec,
+    # Lever projection at chunk 32/device: the fused chunk kernel's compile
+    # ceiling caps per-device chunks at 34 for Np=90 (ops/pallas_kernels.py
+    # _CHUNK_ROWS_LIMIT), so chunk 96/device is only realizable through the
+    # slower XLA body — the honest levered projection uses the chunk size
+    # the headline kernel actually runs.
+    led_lever = project_led(MONO, sec,
                             comm_bytes=BF16_PLANES_BYTES, pipelined=True)
     tile_rows = project_tile_strong(MONO, sec, devices=(2, 4))
     for r in roi_rows + led32 + led96 + led_lever + tile_rows:

@@ -652,7 +652,7 @@ def _chunked_kernel(
     chunk: int, np_size: int, bbox: int, bbox_lo: int, win: int,
     lane_blk: int, n_mats: int, delta1: float, delta2: float, eps: float,
     pupil_step_scale: float, dft_precision: str, collect_metrics: bool,
-    forward_stages: int, ablate: str,
+    ablate: str,
 ):
     """One grid step = one Jacobi chunk, updates applied in place.
 
@@ -665,14 +665,13 @@ def _chunked_kernel(
     accumulated across chunks into the SMEM metrics output — the same
     per-sweep convergence telemetry the XLA path emits (VERDICT r3 item 5).
 
-    ``forward_stages`` splits the chunk's forward pass into sub-batches:
-    because Jacobi computes every increment from the chunk-start state,
-    stage s+1's VPU window reads are independent of stage s's MXU DFT
-    chain (all o_ref writes happen after every stage), so Mosaic can
-    overlap them — bitwise-identical results (the windows are read from
-    the unmodified spectrum and written in the same j order), measured
-    round 4 (benchmarks/ablate_r4_chunked.json): the window traffic is
-    ~40% of the chunk wall with a fully additive schedule at 1 stage.
+    Negative result, measured round 4 (kept as a note so it isn't retried
+    blindly): splitting the forward pass into sub-batches — legal in
+    Jacobi, since every window read precedes every write — neither
+    overlaps the VPU window traffic with the MXU chain (Mosaic schedules
+    the stages in program order: 750 vs 726 ns/slot at mono chunk32) nor
+    relaxes the compile ceiling (chunk 64 as two 32-LED stages still
+    fails: the ceiling tracks the unrolled per-LED write/pupil loops).
     """
     n, b = np_size, bbox
     amp_ref, sup_ref = refs[0], refs[1]
@@ -691,34 +690,24 @@ def _chunked_kernel(
         mets_ref[0] = jnp.zeros((), jnp.float32)
         mets_ref[1] = jnp.zeros((), jnp.float32)
 
-    np8 = _round_up(n, 8)
-    stage = chunk if forward_stages <= 1 else -(-chunk // forward_stages)
-    amp2d = amp_ref[0]
-    offs, oc_r, oc_i, d_r, d_i = [], [], [], [], []
-    resid = jnp.zeros((), jnp.float32)
-    for st0 in range(0, chunk, stage):
-        c_st = min(stage, chunk - st0)
-        offs_s, ocr_s, oci_s, dr_s, di_s, img_r, img_i = _batched_chunk_forward(
-            o_ref, p_r, p_i, amp2d[st0 * np8:(st0 + c_st) * np8, :],
-            starts_ref, base + st0, mats,
-            chunk=c_st, np_size=n, bbox=b, bbox_lo=bbox_lo, win=win,
-            lane_blk=lane_blk, eps=eps, dft_precision=dft_precision,
-            ablate=ablate,
-        )
-        offs += offs_s
-        oc_r += ocr_s
-        oc_i += oci_s
-        d_r += dr_s
-        d_i += di_s
-        if collect_metrics:
-            # data residual Σ m·(A − |img|)² (padded rows: amp = img = 0)
-            absimg = jnp.sqrt(img_r * img_r + img_i * img_i)
-            for j in range(c_st):
-                rows = slice(j * np8, (j + 1) * np8)
-                vm = valid_ref[base + st0 + j].astype(jnp.float32)
-                term = amp2d[(st0 + j) * np8:(st0 + j + 1) * np8, :] - absimg[rows, :]
-                resid = resid + vm * jnp.sum(term * term)
+    offs, oc_r, oc_i, d_r, d_i, img_r, img_i = _batched_chunk_forward(
+        o_ref, p_r, p_i, amp_ref[0], starts_ref, base, mats,
+        chunk=chunk, np_size=n, bbox=b, bbox_lo=bbox_lo, win=win,
+        lane_blk=lane_blk, eps=eps, dft_precision=dft_precision,
+        ablate=ablate,
+    )
+
     if collect_metrics:
+        # data residual Σ m·(A − |img|)² (padded rows: amp = img = 0)
+        np8 = _round_up(n, 8)
+        absimg = jnp.sqrt(img_r * img_r + img_i * img_i)
+        amp2d = amp_ref[0]
+        resid = jnp.zeros((), jnp.float32)
+        for j in range(chunk):
+            rows = slice(j * np8, (j + 1) * np8)
+            vm = valid_ref[base + j].astype(jnp.float32)
+            term = amp2d[rows, :] - absimg[rows, :]
+            resid = resid + vm * jnp.sum(term * term)
         mets_ref[0] = mets_ref[0] + resid
 
     # --- object update from the chunk-start pupil (fpmMain.cpp:404-447)
@@ -778,7 +767,7 @@ def _chunked_kernel(
     static_argnames=(
         "np_size", "n_large", "delta1", "delta2", "eps", "interpret",
         "dft_precision", "pupil_radius", "pupil_step_scale",
-        "collect_metrics", "forward_stages", "ablate",
+        "collect_metrics", "ablate",
     ),
 )
 def fused_epry_chunked(
@@ -799,7 +788,6 @@ def fused_epry_chunked(
     pupil_radius: int = 0,
     pupil_step_scale: float = 1.0,
     collect_metrics: bool = False,
-    forward_stages: int = 1,
     ablate: str = "",
 ):
     """One chunked Gauss–Seidel-over-Jacobi sweep as a single Pallas kernel.
@@ -821,14 +809,17 @@ def fused_epry_chunked(
             f"dft_precision must be 'bf16x3' or 'highest', got {dft_precision!r}"
         )
     n_chunks, c = amps.shape[0], amps.shape[1]
-    stage = c if forward_stages <= 1 else -(-c // forward_stages)
-    if not interpret and stage * _round_up(np_size, 8) > _CHUNK_ROWS_LIMIT:
+    # The ceiling tracks the TOTAL chunk (the unrolled per-LED write and
+    # pupil-consensus loops), not the forward-pass buffers: a chunk of 64
+    # split into two 32-LED forward stages still fails remote compilation
+    # (measured round 4), so staging does not relax this check.
+    if not interpret and c * _round_up(np_size, 8) > _CHUNK_ROWS_LIMIT:
         raise ValueError(
-            f"forward stage of {stage} LEDs at Np={np_size} exceeds the "
-            f"fused chunked kernel's compile ceiling "
-            f"({stage * _round_up(np_size, 8)} stacked rows > "
-            f"{_CHUNK_ROWS_LIMIT}); raise forward_stages (or use "
-            f"chunk_size <= {max_pallas_chunk(np_size)})"
+            f"chunk of {c} LEDs at Np={np_size} exceeds the fused chunked "
+            f"kernel's compile ceiling ({c * _round_up(np_size, 8)} stacked "
+            f"rows > {_CHUNK_ROWS_LIMIT}); use chunk_size <= "
+            f"{max_pallas_chunk(np_size)} (models.epry.reconstruct clamps "
+            "this automatically)"
         )
     n = np_size
     b, lo = _support_bbox(n, pupil_radius)
@@ -883,8 +874,7 @@ def fused_epry_chunked(
         lane_blk=lane_blk, n_mats=n_mats,
         delta1=delta1, delta2=delta2, eps=eps,
         pupil_step_scale=pupil_step_scale, dft_precision=dft_precision,
-        collect_metrics=collect_metrics, forward_stages=forward_stages,
-        ablate=ablate,
+        collect_metrics=collect_metrics, ablate=ablate,
     )
     o_out, p_out, mets = pl.pallas_call(
         kernel,

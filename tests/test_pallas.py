@@ -186,53 +186,3 @@ def test_fused_kernels_emit_per_sweep_metrics(ds):
                                refb.metrics["data_residual"], rtol=1e-4)
     np.testing.assert_allclose(chk.metrics["update_norm"],
                                refb.metrics["update_norm"], rtol=1e-4)
-
-
-def test_chunked_forward_stages_bitwise_identical():
-    """forward_stages splits the chunk's forward pass so stage B's window
-    reads overlap stage A's MXU chain (all reads precede all writes in
-    Jacobi) — the math is identical at any stage count (each output column
-    of the batched DFT matmuls contracts the same K elements; interpret
-    mode's CPU GEMM may re-panel the reduction at different matrix sizes,
-    so the gate is 1-ulp-level, not bitwise)."""
-    import jax.numpy as jnp
-
-    from fpm_tpu.geometry import pupil_radius, pupil_support
-    from fpm_tpu.models.epry import chunk_schedule, init_state
-    from fpm_tpu.ops.pallas_kernels import fused_epry_chunked
-
-    ds16 = synthetic_dataset(np_size=16, grid=5, seed=3)
-    cfg, geom = ds16.cfg, ds16.geom
-    amps = np.sqrt(np.asarray(ds16.images, np.float64))[geom.schedule]
-    starts = geom.crop_start[geom.schedule]
-    obj_f, pupil, support = init_state(cfg, geom, jnp.asarray(amps, jnp.float32),
-                                       dtype=jnp.complex64)
-    perm, mask, n_chunks = chunk_schedule(len(amps), 8, "strided")
-    pad = perm.size - len(amps)
-    a = np.concatenate([amps, np.zeros((pad,) + amps.shape[1:])])
-    s = np.concatenate([starts, np.zeros((pad, 2), starts.dtype)])
-    c = perm.size // n_chunks
-    amps_it = jnp.asarray(a[perm].reshape(n_chunks, c, *amps.shape[1:]), jnp.float32)
-    sf = jnp.asarray(s[perm].reshape(-1), jnp.int32)
-    valid = jnp.asarray((mask > 0).astype(np.int32))
-    o_pl = jnp.stack([jnp.real(obj_f), jnp.imag(obj_f)]).astype(jnp.float32)
-    p_pl = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
-    sup = jnp.real(support).astype(jnp.float32)
-
-    outs = []
-    for stages in (1, 2, 4):
-        o_out, p_out, mets = fused_epry_chunked(
-            o_pl, p_pl, sup, amps_it, sf, valid,
-            np_size=cfg.np_size, n_large=cfg.n_large,
-            delta1=cfg.delta1, delta2=cfg.delta2, eps=cfg.eps,
-            interpret=True, dft_precision="highest",
-            pupil_radius=pupil_radius(cfg), collect_metrics=True,
-            forward_stages=stages,
-        )
-        outs.append((np.asarray(o_out), np.asarray(p_out), np.asarray(mets)))
-    scale_o = np.abs(outs[0][0]).max()
-    scale_p = np.abs(outs[0][1]).max()
-    for o2, p2, m2 in outs[1:]:
-        assert np.abs(o2 - outs[0][0]).max() / scale_o < 5e-7
-        assert np.abs(p2 - outs[0][1]).max() / scale_p < 5e-7
-        np.testing.assert_allclose(m2, outs[0][2], rtol=1e-6)
