@@ -81,7 +81,16 @@ def _add_run_parser(sub):
     p.add_argument("--mesh", type=int, nargs=2, metavar=("LED", "TILE"),
                    default=None,
                    help="multi-device mesh: LED-batch x spectrum-tile "
-                        "sharding (batched sweep semantics)")
+                        "sharding (batched sweep semantics); TILE=1 runs "
+                        "the LED-sharded sweep (replicated spectrum)")
+    p.add_argument("--comm-precision", choices=["f32", "bf16"], default="f32",
+                   help="mesh runs: consensus psum / reverse-halo payload "
+                        "precision (bf16 halves the wire bytes; needs "
+                        "--use-pallas — SCALING.md)")
+    p.add_argument("--stale-consensus", action="store_true",
+                   help="mesh runs with TILE=1: one-chunk-stale consensus "
+                        "pipelining so all-reduces overlap the next "
+                        "chunk's compute (SCALING.md)")
     p.add_argument("--distributed", action="store_true",
                    help="initialize jax.distributed from FPM_COORDINATOR/"
                         "FPM_NUM_PROCESSES/FPM_PROCESS_ID (multi-host)")
@@ -306,12 +315,16 @@ def _cmd_run(args) -> int:
         mode=effective_mode, chunk_size=eff_chunk,
         chunk_assign=args.chunk_assign, global_max=args.global_max,
         use_pallas=bool(args.use_pallas), dft_precision=args.dft_precision,
+        comm_precision=args.comm_precision,
+        stale_consensus=bool(args.stale_consensus),
         mesh="x".join(map(str, mesh_req)) if mesh_req else None,
     )
     logger.log("solver_options", mode=effective_mode,
                chunk_size=eff_chunk, chunk_assign=args.chunk_assign,
                global_max=args.global_max, use_pallas=bool(args.use_pallas),
                dft_precision=args.dft_precision,
+               comm_precision=args.comm_precision,
+               stale_consensus=bool(args.stale_consensus),
                mesh=list(mesh_req) if mesh_req else None)
 
     initial_state, start_iter = None, 0
@@ -341,27 +354,52 @@ def _cmd_run(args) -> int:
                              chunk_size=args.chunk_size,
                              chunk_assign=args.chunk_assign)
         if mesh_req:
-            from .parallel import make_mesh, reconstruct_tile_sharded
+            from .parallel import (
+                make_mesh,
+                reconstruct_led_sharded,
+                reconstruct_tile_sharded,
+            )
 
             mesh = make_mesh(led=mesh_req[0], tile=mesh_req[1])
             print(f"[fpm-tpu] mesh: led={mesh_req[0]} tile={mesh_req[1]} "
                   f"({len(mesh.devices.ravel())} devices)")
-
-            def run_chunk(step, initial_state):
-                # Forward the full solver-option set: the mesh path runs
-                # batched (chunked-Jacobi) semantics, and chunk_size /
-                # chunk_assign / use_pallas / dft_precision all change the
-                # trajectory (chunk_size=0 whole-sweep Jacobi is unstable
-                # at realistic LED counts — models/epry.py docstring).
-                return reconstruct_tile_sharded(
-                    dataset.images, dataset.geom, cfg, mesh=mesh,
-                    iterations=step, initial_state=initial_state,
-                    global_max=args.global_max,
-                    chunk_size=args.chunk_size,
-                    chunk_assign=args.chunk_assign,
-                    use_pallas=args.use_pallas,
-                    dft_precision=args.dft_precision,
+            if args.stale_consensus and mesh_req[1] != 1:
+                raise ValueError(
+                    "--stale-consensus pipelines the LED-sharded sweep; "
+                    "use a TILE=1 mesh (the tile axis' halo exchange is "
+                    "not pipelined)"
                 )
+
+            # Forward the full solver-option set: the mesh path runs
+            # batched (chunked-Jacobi) semantics, and chunk_size /
+            # chunk_assign / use_pallas / dft_precision / comm_precision
+            # all change the trajectory (chunk_size=0 whole-sweep Jacobi
+            # is unstable at realistic LED counts — models/epry.py).
+            mesh_kwargs = dict(
+                global_max=args.global_max,
+                chunk_size=args.chunk_size,
+                chunk_assign=args.chunk_assign,
+                use_pallas=args.use_pallas,
+                dft_precision=args.dft_precision,
+                comm_precision=args.comm_precision,
+            )
+
+            if mesh_req[1] == 1:
+                # Pure LED-batch sharding: replicated spectrum, and the
+                # stale-pipelining lever is available (SCALING.md).
+                def run_chunk(step, initial_state):
+                    return reconstruct_led_sharded(
+                        dataset.images, dataset.geom, cfg, mesh=mesh,
+                        iterations=step, initial_state=initial_state,
+                        stale_consensus=args.stale_consensus, **mesh_kwargs,
+                    )
+            else:
+                def run_chunk(step, initial_state):
+                    return reconstruct_tile_sharded(
+                        dataset.images, dataset.geom, cfg, mesh=mesh,
+                        iterations=step, initial_state=initial_state,
+                        **mesh_kwargs,
+                    )
         else:
             def run_chunk(step, initial_state):
                 return reconstruct(

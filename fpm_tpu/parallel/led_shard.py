@@ -242,6 +242,7 @@ def prepare_led_sharded(
     mesh: Mesh,
     iterations: int | None = None,
     dtype=None,
+    initial_state: tuple | None = None,
     **opt_overrides,
 ):
     """Device-placed inputs + opts for :func:`_run_led_sharded`.
@@ -263,7 +264,24 @@ def prepare_led_sharded(
 
     amps, starts = _sorted_device_inputs(images, geom, dtype)
     k = amps.shape[0]
+    if opts.use_pallas:
+        # Per-device chunk slice = chunk/n_led must fit the fused kernel's
+        # compile ceiling (ops/pallas_kernels.py); clamp with a notice.
+        import dataclasses as _dc
+
+        from ..ops.pallas_kernels import max_pallas_chunk
+
+        cap = max_pallas_chunk(cfg.np_size) * n_led
+        requested = opts.chunk_size if opts.chunk_size > 0 else k
+        if requested > cap:
+            print(f"[fpm-tpu] pallas chunked kernel: chunk_size {requested} "
+                  f"exceeds the compile ceiling at Np={cfg.np_size} over "
+                  f"{n_led} devices; clamped to {cap}")
+            opts = _dc.replace(opts, chunk_size=cap)
     obj_f, pupil, support = init_state(cfg, geom, amps, dtype=dtype)
+    if initial_state is not None:  # checkpoint resume
+        obj_f = jnp.asarray(initial_state[0], dtype=dtype)
+        pupil = jnp.asarray(initial_state[1], dtype=dtype)
 
     c_req = opts.chunk_size if opts.chunk_size > 0 else k
     c_eff = -(-c_req // n_led) * n_led
@@ -294,14 +312,19 @@ def reconstruct_led_sharded(
     mesh: Mesh | None = None,
     iterations: int | None = None,
     dtype=None,
+    initial_state: tuple | None = None,
     **opt_overrides,
 ) -> ReconResult:
-    """Multi-device epoch-synchronous reconstruction, LED axis sharded."""
+    """Multi-device epoch-synchronous reconstruction, LED axis sharded.
+
+    ``initial_state`` is an optional (obj_f_centered, pupil) pair for
+    checkpoint resume.
+    """
     if mesh is None:
         mesh = make_mesh(tile=1)
     args, opts = prepare_led_sharded(
         images, geom, cfg, mesh, iterations=iterations, dtype=dtype,
-        **opt_overrides,
+        initial_state=initial_state, **opt_overrides,
     )
     obj_f, pupil, obj_crop, metrics = _run_led_sharded(*args, opts, mesh)
     metrics = np.asarray(metrics)

@@ -230,6 +230,35 @@ def test_mesh_run_forwards_solver_options(tmp_path):
     assert so["mesh"] == [1, 2]
 
 
+def test_mesh_tile1_led_sharded_with_levers(tmp_path):
+    """A TILE=1 mesh routes through the LED-sharded runner where both
+    scaling levers are available from the CLI (SCALING.md): bf16 consensus
+    + stale pipelining, recorded in solver_options, still reconstructing."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    out_dir = str(tmp_path / "levers")
+    assert main(["run", cfg_path, "-n", "10", "-o", out_dir,
+                 "--mesh", "4", "1", "--chunk-size", "8",
+                 "--use-pallas", "--dft-precision", "highest",
+                 "--comm-precision", "bf16", "--stale-consensus",
+                 "--no-native"]) == 0
+    obj = np.load(os.path.join(out_dir, "object.npy"))
+    truth = np.load(os.path.join(data_dir, "object_true.npy"))
+    a, t = np.abs(obj), np.abs(truth)
+    s = (t * a).sum() / (a * a).sum()
+    assert np.sqrt(((a * s - t) ** 2).mean()) / t.mean() < 0.15
+    lines = [json.loads(ln)
+             for ln in open(os.path.join(out_dir, "metrics.jsonl"))]
+    so = next(ln for ln in lines if ln["event"] == "solver_options")
+    assert so["comm_precision"] == "bf16" and so["stale_consensus"] is True
+
+    # stale pipelining needs the LED axis: a TILE>1 mesh refuses it
+    assert main(["run", cfg_path, "-n", "2", "-o", str(tmp_path / "x"),
+                 "--mesh", "2", "2", "--stale-consensus",
+                 "--no-native"]) == 1
+
+
 def test_tile_grid_config_key_builds_mesh(tmp_path, capsys):
     """The tileGrid config key requests the device mesh exactly like --mesh
     (previously parsed-but-dead — VERDICT r1 item 6)."""
