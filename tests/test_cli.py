@@ -354,3 +354,16 @@ def test_info_geometry_dump(tmp_path, capsys):
     assert rows[i]["cropYStart"] == int(geom.crop_start[i, 0])
     np.testing.assert_allclose(rows[i]["illumination_na"],
                                geom.illumination_na[i], rtol=1e-12)
+
+
+def test_watchdog_flag_wiring(tmp_path):
+    """--watchdog-timeout arms the stall detector around the solve loop;
+    a healthy run beats it every chunk and finishes normally."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    out_dir = str(tmp_path / "wd")
+    assert main(["run", cfg_path, "-n", "4", "-o", out_dir,
+                 "--dtype", "complex128", "--watchdog-timeout", "300",
+                 "--checkpoint-every", "1", "--no-native"]) == 0
+    assert os.path.exists(os.path.join(out_dir, "object.npy"))
