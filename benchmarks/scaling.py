@@ -264,12 +264,15 @@ def project_led(work: dict, sec_per_iter: float, devices=(2, 4, 8),
 
 
 def project_tile_strong(work: dict, sec_per_iter: float, devices=(2, 4),
-                        ici_gbs=45.0) -> list[dict]:
+                        ici_gbs=45.0, comm_bytes=F32_PLANES_BYTES,
+                        pipelined=False) -> list[dict]:
     """Strong scaling over the tile axis: one fixed reconstruction, the
     spectrum row-sharded over p devices (each also takes 1/p of the LEDs —
     owner-computes). Compute shrinks as 1/p; the wire cost is the per-chunk
     halo pair + pupil consensus (the object psum rides the size-1 led axis
-    for free). Efficiency = T1 / (p · Tp)."""
+    for free). Efficiency = T1 / (p · Tp). ``comm_bytes``/``pipelined``
+    model the bf16-payload and stale-pipelining levers (both implemented
+    for the tile sweep — parallel/tile_shard.py)."""
     from fpm_tpu.parallel.comm import tile_shard_comm
 
     rows = []
@@ -279,10 +282,16 @@ def project_tile_strong(work: dict, sec_per_iter: float, devices=(2, 4),
         m = tile_shard_comm(
             work["n_large"], work["np_size"], k=work["k"],
             n_led=1, n_tile=p, chunk_size=work["chunk"],
-            dtype_bytes=F32_PLANES_BYTES,
+            dtype_bytes=comm_bytes,
         )
         t_comm = m["device_wire_bytes_per_sweep"] / (ici_gbs * 1e9)
-        t_p = sec_per_iter / p + t_comm
+        n = max(1, m["n_chunks_per_sweep"])
+        if pipelined:
+            cc = sec_per_iter / p / n
+            mc = t_comm / n
+            t_p = cc + max(cc, mc) * (n - 1) + mc
+        else:
+            t_p = sec_per_iter / p + t_comm
         rows.append({
             "devices": p, "axis": "tile(strong)",
             "n_chunks": m["n_chunks_per_sweep"],
@@ -291,6 +300,7 @@ def project_tile_strong(work: dict, sec_per_iter: float, devices=(2, 4),
             "comm_s": round(t_comm, 6),
             "efficiency": round(sec_per_iter / (p * t_p), 4),
             "ici_bandwidth_gbs": ici_gbs,
+            "pipelined": pipelined,
         })
     return rows
 
@@ -334,7 +344,7 @@ def _md_table(rows: list[dict]) -> str:
 
 
 def write_scaling_md(sec, source, roi_rows, led32, led96, led_lever,
-                     tile_rows, checks):
+                     tile_rows, tile_lever, checks):
     check_lines = "\n".join(
         f"* `{d['what']}` (k={d['k']}, chunks={d['n_chunks']}): "
         f"all-reduce payloads {d['hlo_allreduce_payloads']} B, "
@@ -441,15 +451,26 @@ the wire carries only the Np-row halo pair per chunk + pupil consensus
 
 {_md_table(tile_rows)}
 
+With both levers — bf16 payloads + stale pipelining, both implemented for
+the tile sweep too (`parallel/tile_shard.py`; trajectory equals the
+LED-sharded stale trajectory up to reduction order, tests/test_sharding.py):
+
+{_md_table(tile_lever)}
+
 ### Reading
 
 ROI parallelism is the scale-out answer and meets the target outright.
 For single-ROI scaling, tile-sharding beats LED-sharding because it keeps
 the full-spectrum all-reduce off the wire; both are latency/bandwidth-bound
 on the mono workload's tiny compute and improve directly with patch size
-(dogStomach's per-LED compute is ~5× mono's for the same wire bytes). This
-matches the scaling-book recipe: shard the axis whose per-device footprint
-grows, keep dense all-reduces off the critical path.
+(dogStomach's per-LED compute is ~5× mono's for the same wire bytes).
+The two implemented levers change the picture: with bf16 payloads +
+stale pipelining, LED-axis weak scaling clears ≥85% at p=2–8 and tile-axis
+strong scaling reaches ~92% at p=2 (p=4 remains comm-bound at ~74% —
+strong scaling shrinks compute while the halo/pupil wire stays constant,
+the honest limit). This matches the scaling-book recipe: shard the axis
+whose per-device footprint grows, keep dense all-reduces off the critical
+path, and overlap the rest.
 """
     with open(SCALING_MD, "w") as f:
         f.write(body)
@@ -490,11 +511,14 @@ def main(argv=None):
     led_lever = project_led(MONO, sec,
                             comm_bytes=BF16_PLANES_BYTES, pipelined=True)
     tile_rows = project_tile_strong(MONO, sec, devices=(2, 4))
-    for r in roi_rows + led32 + led96 + led_lever + tile_rows:
+    tile_lever = project_tile_strong(MONO, sec, devices=(2, 4),
+                                     comm_bytes=BF16_PLANES_BYTES,
+                                     pipelined=True)
+    for r in roi_rows + led32 + led96 + led_lever + tile_rows + tile_lever:
         print(json.dumps(r))
     if args.write_md:
         write_scaling_md(sec, source, roi_rows, led32, led96, led_lever,
-                         tile_rows, checks)
+                         tile_rows, tile_lever, checks)
         print(json.dumps({"wrote": SCALING_MD}))
     return 0
 

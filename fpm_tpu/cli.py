@@ -88,9 +88,9 @@ def _add_run_parser(sub):
                         "precision (bf16 halves the wire bytes; needs "
                         "--use-pallas — SCALING.md)")
     p.add_argument("--stale-consensus", action="store_true",
-                   help="mesh runs with TILE=1: one-chunk-stale consensus "
-                        "pipelining so all-reduces overlap the next "
-                        "chunk's compute (SCALING.md)")
+                   help="mesh runs: one-chunk-stale consensus pipelining "
+                        "so all-reduces/halos overlap the next chunk's "
+                        "compute (SCALING.md)")
     p.add_argument("--distributed", action="store_true",
                    help="initialize jax.distributed from FPM_COORDINATOR/"
                         "FPM_NUM_PROCESSES/FPM_PROCESS_ID (multi-host)")
@@ -363,18 +363,13 @@ def _cmd_run(args) -> int:
             mesh = make_mesh(led=mesh_req[0], tile=mesh_req[1])
             print(f"[fpm-tpu] mesh: led={mesh_req[0]} tile={mesh_req[1]} "
                   f"({len(mesh.devices.ravel())} devices)")
-            if args.stale_consensus and mesh_req[1] != 1:
-                raise ValueError(
-                    "--stale-consensus pipelines the LED-sharded sweep; "
-                    "use a TILE=1 mesh (the tile axis' halo exchange is "
-                    "not pipelined)"
-                )
 
             # Forward the full solver-option set: the mesh path runs
             # batched (chunked-Jacobi) semantics, and chunk_size /
-            # chunk_assign / use_pallas / dft_precision / comm_precision
-            # all change the trajectory (chunk_size=0 whole-sweep Jacobi
-            # is unstable at realistic LED counts — models/epry.py).
+            # chunk_assign / use_pallas / dft_precision / comm_precision /
+            # stale_consensus all change the trajectory (chunk_size=0
+            # whole-sweep Jacobi is unstable at realistic LED counts —
+            # models/epry.py).
             mesh_kwargs = dict(
                 global_max=args.global_max,
                 chunk_size=args.chunk_size,
@@ -382,16 +377,16 @@ def _cmd_run(args) -> int:
                 use_pallas=args.use_pallas,
                 dft_precision=args.dft_precision,
                 comm_precision=args.comm_precision,
+                stale_consensus=args.stale_consensus,
             )
 
             if mesh_req[1] == 1:
-                # Pure LED-batch sharding: replicated spectrum, and the
-                # stale-pipelining lever is available (SCALING.md).
+                # Pure LED-batch sharding (replicated spectrum).
                 def run_chunk(step, initial_state):
                     return reconstruct_led_sharded(
                         dataset.images, dataset.geom, cfg, mesh=mesh,
                         iterations=step, initial_state=initial_state,
-                        stale_consensus=args.stale_consensus, **mesh_kwargs,
+                        **mesh_kwargs,
                     )
             else:
                 def run_chunk(step, initial_state):

@@ -114,83 +114,16 @@ def partition_leds_by_tile(
     return idx, s
 
 
-def _tile_chunk_pallas_tail(obj_f_local, ext, pupil, support, amps, starts_rel,
-                            mask, *, opts, s, n_tile):
-    """Pallas-routed tail of one tile-sharded chunk (after the forward halo).
+def _tile_chunk_increments(obj_f_local, pupil, support, amps, starts_rel,
+                           mask, *, opts, s, n_tile):
+    """This device's LOCAL increments for one tile-sharded chunk.
 
-    ``fused_chunk_increments`` runs on the halo-extended block; the reverse
-    halo, consensus psums, and the tile-axis ``pmax`` stay out here exactly
-    as in the XLA body (the kernel's ``v`` omits the 1/max|O| factor, which
-    commutes with psum). f32 kernel arithmetic — opt-in for TPU scaling
-    runs; the f64 parity path is the XLA body in :func:`_tile_chunk`.
-    """
-    import jax as _jax
-
-    from ..ops.pallas_kernels import fused_chunk_increments
-
-    np_sz = opts.np_size
-    o_planes = jnp.stack([jnp.real(ext), jnp.imag(ext)]).astype(jnp.float32)
-    p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
-    support_r = jnp.real(support).astype(jnp.float32)
-    d, v, mets = fused_chunk_increments(
-        o_planes, p_planes, support_r,
-        amps.astype(jnp.float32),
-        starts_rel.reshape(-1).astype(jnp.int32),
-        (mask > 0).astype(jnp.int32),
-        np_size=np_sz,
-        n_rows=ext.shape[0], n_cols=ext.shape[1],
-        delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
-        interpret=_jax.default_backend() != "tpu",
-        dft_precision=opts.dft_precision,
-        pupil_radius=opts.pupil_radius,
-        collect_metrics=opts.collect_metrics,
-        vma=("led", "tile"),
-    )
-    # comm_precision='bf16' halves the consensus + reverse-halo payloads
-    # on the wire (the weak-scaling lever, SCALING.md); f32 accumulate.
-    bf16_comm = opts.comm_precision == "bf16"
-    if bf16_comm:
-        d = jax.lax.psum(d.astype(jnp.bfloat16), "led").astype(jnp.float32)
-    else:
-        d = jax.lax.psum(d, "led")
-    d_ext = (d[0] + 1j * d[1]).astype(ext.dtype)
-
-    # reverse halo: increments in my halo rows belong to the next tile
-    bwd = [(i, (i + 1) % n_tile) for i in range(n_tile)]
-    if bf16_comm:
-        back = jax.lax.ppermute(
-            jnp.stack([jnp.real(d_ext[s:]), jnp.imag(d_ext[s:])]
-                      ).astype(jnp.bfloat16),
-            "tile", perm=bwd,
-        ).astype(jnp.float32)
-        halo_back = (back[0] + 1j * back[1]).astype(ext.dtype)
-    else:
-        halo_back = jax.lax.ppermute(d_ext[s:], "tile", perm=bwd)
-    d_local = d_ext[:s].at[:np_sz].add(halo_back)
-    obj_f_local = obj_f_local + d_local
-
-    omax = jax.lax.pmax(jnp.max(jnp.abs(obj_f_local)), "tile")
-
-    if bf16_comm:
-        v = jax.lax.psum(v.astype(jnp.bfloat16), ("led", "tile")).astype(jnp.float32)
-    else:
-        v = jax.lax.psum(v, ("led", "tile"))
-    d_pupil_sum = (v[0] + 1j * v[1]).astype(pupil.dtype) / omax
-    pupil = pupil + opts.pupil_step_scale * d_pupil_sum
-
-    rdt = jnp.abs(obj_f_local).dtype
-    mets = jax.lax.psum(mets.astype(rdt), ("led", "tile"))
-    return obj_f_local, pupil, mets
-
-
-def _tile_chunk(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s, n_tile):
-    """One Jacobi chunk on the row-sharded spectrum (under shard_map).
-
-    ``amps``/``starts_rel``/``mask`` are this device's slice of the chunk's
-    workset. Halo exchange, consensus, and the global-max pmax happen once
-    per chunk — the chunked Gauss–Seidel-over-Jacobi semantics of
-    ``models.epry.sweep_batched`` (the stability condition at realistic LED
-    counts, models/epry.py docstring), now on the sharded spectrum.
+    Forward halo (from the given state) + per-LED diffs on the extended
+    block. Returns ``(d_ext, v, mets)``: the halo-extended object increment
+    (f32 planes on the Pallas route, complex on the XLA route), the pupil
+    EPRY numerator WITHOUT the 1/max|O| factor, and local metric partials.
+    Separated from :func:`_tile_consensus_apply` so the stale-pipelined
+    sweep can overlap chunk c's collectives with chunk c+1's compute.
     """
     np_sz = opts.np_size
 
@@ -200,9 +133,26 @@ def _tile_chunk(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s,
     ext = jnp.concatenate([obj_f_local, halo], axis=0)  # (S+Np, Nlarge)
 
     if opts.use_pallas:
-        return _tile_chunk_pallas_tail(
-            obj_f_local, ext, pupil, support, amps, starts_rel, mask,
-            opts=opts, s=s, n_tile=n_tile,
+        import jax as _jax
+
+        from ..ops.pallas_kernels import fused_chunk_increments
+
+        o_planes = jnp.stack([jnp.real(ext), jnp.imag(ext)]).astype(jnp.float32)
+        p_planes = jnp.stack([jnp.real(pupil), jnp.imag(pupil)]).astype(jnp.float32)
+        support_r = jnp.real(support).astype(jnp.float32)
+        return fused_chunk_increments(
+            o_planes, p_planes, support_r,
+            amps.astype(jnp.float32),
+            starts_rel.reshape(-1).astype(jnp.int32),
+            (mask > 0).astype(jnp.int32),
+            np_size=np_sz,
+            n_rows=ext.shape[0], n_cols=ext.shape[1],
+            delta1=opts.delta1, delta2=opts.delta2, eps=opts.eps,
+            interpret=_jax.default_backend() != "tpu",
+            dft_precision=opts.dft_precision,
+            pupil_radius=opts.pupil_radius,
+            collect_metrics=opts.collect_metrics,
+            vma=("led", "tile"),
         )
 
     patches = jax.vmap(
@@ -224,27 +174,79 @@ def _tile_chunk(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s,
 
     acc0 = jax.lax.pcast(jnp.zeros_like(ext), ("led",), to="varying")
     d_ext, _ = jax.lax.scan(paste, acc0, (d_obj, starts_rel))
-    # All led-replicas of a tile must agree on the tile's increment.
-    d_ext = jax.lax.psum(d_ext, "led")
 
-    # --- reverse halo: increments that landed in my halo rows belong to the
-    # next tile's top rows; send them onward and add.
+    # omax=1.0: the true 1/max|O| factor is applied after the consensus.
+    v = jnp.sum(_pupil_delta(diff, objf_crop, 1.0, support, opts.delta1) * m,
+                axis=0)
+    resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
+    upd = jnp.sum(jnp.abs(d_obj * m) ** 2)
+    return d_ext, v, jnp.stack([resid, upd])
+
+
+def _tile_consensus_apply(obj_f_local, pupil, d_ext, v, mets, *, opts, s,
+                          n_tile):
+    """Apply one chunk's consensus on the row-sharded spectrum.
+
+    Object psum over 'led' → reverse halo (increments in halo rows belong
+    to the next tile) → add → 'tile'-axis pmax realizing the reference's
+    full-spectrum ``cv::minMaxLoc`` (fpmMain.cpp:467) → pupil consensus.
+    ``comm_precision='bf16'`` (Pallas route) halves the psum and
+    reverse-halo payloads on the wire; f32 accumulation.
+    """
+    np_sz = opts.np_size
+    bf16_comm = opts.comm_precision == "bf16"
+    planes = not jnp.iscomplexobj(d_ext)
+
+    if bf16_comm:
+        d_ext = jax.lax.psum(d_ext.astype(jnp.bfloat16), "led").astype(jnp.float32)
+    else:
+        d_ext = jax.lax.psum(d_ext, "led")
+    if planes:
+        d_ext = (d_ext[0] + 1j * d_ext[1]).astype(obj_f_local.dtype)
+
     bwd = [(i, (i + 1) % n_tile) for i in range(n_tile)]
-    halo_back = jax.lax.ppermute(d_ext[s:], "tile", perm=bwd)
+    if bf16_comm:
+        back = jax.lax.ppermute(
+            jnp.stack([jnp.real(d_ext[s:]), jnp.imag(d_ext[s:])]
+                      ).astype(jnp.bfloat16),
+            "tile", perm=bwd,
+        ).astype(jnp.float32)
+        halo_back = (back[0] + 1j * back[1]).astype(obj_f_local.dtype)
+    else:
+        halo_back = jax.lax.ppermute(d_ext[s:], "tile", perm=bwd)
     d_local = d_ext[:s].at[:np_sz].add(halo_back)
     obj_f_local = obj_f_local + d_local
 
-    # Global max|O| over the updated sharded spectrum: the reference's
-    # cv::minMaxLoc (fpmMain.cpp:467) becomes a pmax collective.
     omax = jax.lax.pmax(jnp.max(jnp.abs(obj_f_local)), "tile")
 
-    d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1) * m
-    d_pupil_sum = jax.lax.psum(jnp.sum(d_pupil, axis=0), ("led", "tile"))
-    pupil = pupil + opts.pupil_step_scale * d_pupil_sum
+    if bf16_comm:
+        v = jax.lax.psum(v.astype(jnp.bfloat16), ("led", "tile")).astype(jnp.float32)
+    else:
+        v = jax.lax.psum(v, ("led", "tile"))
+    if planes:
+        v = (v[0] + 1j * v[1]).astype(pupil.dtype)
+    pupil = pupil + opts.pupil_step_scale * v / omax
 
-    resid = jax.lax.psum(jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2), ("led", "tile"))
-    upd = jax.lax.psum(jnp.sum(jnp.abs(d_obj * m) ** 2), ("led", "tile"))
-    return obj_f_local, pupil, jnp.stack([resid, upd])
+    rdt = jnp.abs(obj_f_local).dtype
+    mets = jax.lax.psum(mets.astype(rdt), ("led", "tile"))
+    return obj_f_local, pupil, mets
+
+
+def _tile_chunk(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s, n_tile):
+    """One Jacobi chunk on the row-sharded spectrum (under shard_map).
+
+    ``amps``/``starts_rel``/``mask`` are this device's slice of the chunk's
+    workset. Halo exchange, consensus, and the global-max pmax happen once
+    per chunk — the chunked Gauss–Seidel-over-Jacobi semantics of
+    ``models.epry.sweep_batched`` (the stability condition at realistic LED
+    counts, models/epry.py docstring), now on the sharded spectrum.
+    """
+    d_ext, v, mets = _tile_chunk_increments(
+        obj_f_local, pupil, support, amps, starts_rel, mask,
+        opts=opts, s=s, n_tile=n_tile,
+    )
+    return _tile_consensus_apply(obj_f_local, pupil, d_ext, v, mets,
+                                 opts=opts, s=s, n_tile=n_tile)
 
 
 def _tile_sweep(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s, n_tile):
@@ -253,21 +255,52 @@ def _tile_sweep(obj_f_local, pupil, support, amps, starts_rel, mask, *, opts, s,
     Worksets arrive shaped (n_chunks, 1, 1, k_local, ...) from the
     (None, 'led', 'tile') sharding; drop the block dims and scan the chunk
     axis.
+
+    ``opts.stale_consensus`` software-pipelines the chunk loop exactly as
+    in parallel/led_shard.py: chunk c+1's forward halo + increments are
+    computed from the state BEFORE chunk c's consensus lands (one chunk of
+    Gauss–Seidel freshness sacrificed), so chunk c's psum / reverse halo /
+    pmax overlap chunk c+1's DFT compute.
     """
     amps, starts_rel, mask = amps[:, 0, 0], starts_rel[:, 0, 0], mask[:, 0, 0]
 
-    def body(carry, inp):
-        obj_f_local, pupil = carry
-        a, st, m2 = inp
-        obj_f_local, pupil, met = _tile_chunk(
-            obj_f_local, pupil, support, a, st, m2, opts=opts, s=s, n_tile=n_tile
-        )
-        return (obj_f_local, pupil), met
+    if not opts.stale_consensus:
+        def body(carry, inp):
+            obj_f_local, pupil = carry
+            a, st, m2 = inp
+            obj_f_local, pupil, met = _tile_chunk(
+                obj_f_local, pupil, support, a, st, m2, opts=opts, s=s,
+                n_tile=n_tile
+            )
+            return (obj_f_local, pupil), met
 
-    (obj_f_local, pupil), mets = jax.lax.scan(
-        body, (obj_f_local, pupil), (amps, starts_rel, mask)
+        (obj_f_local, pupil), mets = jax.lax.scan(
+            body, (obj_f_local, pupil), (amps, starts_rel, mask)
+        )
+        return obj_f_local, pupil, mets.sum(axis=0)
+
+    inc0 = _tile_chunk_increments(obj_f_local, pupil, support, amps[0],
+                                  starts_rel[0], mask[0], opts=opts, s=s,
+                                  n_tile=n_tile)
+
+    def body(carry, inp):
+        obj_f_local, pupil, pend = carry
+        a, st, m2 = inp
+        inc_next = _tile_chunk_increments(obj_f_local, pupil, support, a, st,
+                                          m2, opts=opts, s=s, n_tile=n_tile)
+        obj_f_local, pupil, met = _tile_consensus_apply(
+            obj_f_local, pupil, *pend, opts=opts, s=s, n_tile=n_tile
+        )
+        return (obj_f_local, pupil, inc_next), met
+
+    (obj_f_local, pupil, pend), mets = jax.lax.scan(
+        body, (obj_f_local, pupil, inc0),
+        (amps[1:], starts_rel[1:], mask[1:]),
     )
-    return obj_f_local, pupil, mets.sum(axis=0)
+    obj_f_local, pupil, met_l = _tile_consensus_apply(
+        obj_f_local, pupil, *pend, opts=opts, s=s, n_tile=n_tile
+    )
+    return obj_f_local, pupil, mets.sum(axis=0) + met_l
 
 
 @functools.partial(

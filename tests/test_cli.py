@@ -253,10 +253,16 @@ def test_mesh_tile1_led_sharded_with_levers(tmp_path):
     so = next(ln for ln in lines if ln["event"] == "solver_options")
     assert so["comm_precision"] == "bf16" and so["stale_consensus"] is True
 
-    # stale pipelining needs the LED axis: a TILE>1 mesh refuses it
-    assert main(["run", cfg_path, "-n", "2", "-o", str(tmp_path / "x"),
-                 "--mesh", "2", "2", "--stale-consensus",
-                 "--no-native"]) == 1
+    # the levers also work on a TILE>1 (tile-sharded) mesh
+    out2 = str(tmp_path / "levers_tile")
+    assert main(["run", cfg_path, "-n", "10", "-o", out2,
+                 "--mesh", "2", "2", "--chunk-size", "8",
+                 "--stale-consensus", "--dtype", "complex128",
+                 "--no-native"]) == 0
+    obj2 = np.load(os.path.join(out2, "object.npy"))
+    a2 = np.abs(obj2)
+    s2 = (t * a2).sum() / (a2 * a2).sum()
+    assert np.sqrt(((a2 * s2 - t) ** 2).mean()) / t.mean() < 0.15
 
 
 def test_tile_grid_config_key_builds_mesh(tmp_path, capsys):

@@ -221,3 +221,46 @@ def test_tile_sharded_bf16_comm_close_to_f32(ds):
     b16 = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg,
                                    comm_precision="bf16", **kw)
     assert _rel(b16.obj_f_centered, f32.obj_f_centered) < 0.05
+
+
+def test_tile_stale_consensus_mesh_invariant(ds):
+    """Tile-sharded stale pipelining: same trajectory across mesh shapes,
+    equal to the LED-sharded stale trajectory up to reduction order (both
+    are 'chunk c+1 computed before chunk c's consensus lands')."""
+    a = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg,
+                                 mesh=make_mesh(led=4, tile=2),
+                                 iterations=4, dtype="complex128",
+                                 chunk_size=8, stale_consensus=True)
+    b = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg,
+                                 mesh=make_mesh(led=1, tile=2,
+                                                devices=jax.devices()[:2]),
+                                 iterations=4, dtype="complex128",
+                                 chunk_size=8, stale_consensus=True)
+    assert _rel(a.obj_f_centered, b.obj_f_centered) < 1e-10
+    assert _rel(a.pupil, b.pupil) < 1e-10
+    # different trajectory from fresh consensus (not a silent no-op)
+    fresh = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg,
+                                     mesh=make_mesh(led=4, tile=2),
+                                     iterations=4, dtype="complex128",
+                                     chunk_size=8)
+    assert _rel(a.obj_f_centered, fresh.obj_f_centered) > 1e-8
+
+
+def test_tile_stale_matches_led_stale(ds):
+    """The stale trajectory is an algorithm, not an implementation detail:
+    tile-sharded and LED-sharded stale sweeps agree up to reduction order.
+
+    Chunk membership must match: partition_leds_by_tile and chunk_schedule
+    share strided semantics, so the same chunk c sees the same LED set."""
+    t = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg,
+                                 mesh=make_mesh(led=1, tile=2,
+                                                devices=jax.devices()[:2]),
+                                 iterations=3, dtype="complex128",
+                                 chunk_size=8, stale_consensus=True)
+    led = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg,
+                                  mesh=make_mesh(led=2, tile=1,
+                                                 devices=jax.devices()[:2]),
+                                  iterations=3, dtype="complex128",
+                                  chunk_size=8, stale_consensus=True)
+    assert _rel(t.obj_f_centered, led.obj_f_centered) < 1e-10
+    assert _rel(t.pupil, led.pupil) < 1e-10
