@@ -569,28 +569,32 @@ def _run_large_fov(args, cfg, logger) -> int:
 
 
 def _run_rgb(args, cfg, logger) -> int:
-    import dataclasses
-
     import numpy as np
 
-    from .data.loader import load_dataset
+    from .data.loader import load_dataset_rgb
     from .models.epry import reconstruct
     from .utils.outputs import save_png, save_results
     from .utils.profiling import phase
 
+    # Decode-once ingestion: every TIFF is read and parsed a single time and
+    # all three channels are preprocessed from that one decode (bit-identical
+    # to three per-channel loads; tests/test_loader.py pins it).
+    with phase("ingest[rgb]", logger):
+        channels = load_dataset_rgb(
+            cfg, use_native=False if args.no_native else None
+        )
+
     amps = []
-    for name, bgr in (("red", 2), ("green", 1), ("blue", 0)):
-        ch_cfg = dataclasses.replace(cfg, color=True, color_channel=bgr)
-        with phase(f"ingest[{name}]", logger):
-            dataset = load_dataset(ch_cfg, use_native=False if args.no_native else None)
+    # All three solves share one compiled program (identical shapes/options).
+    for name, dataset in zip(("red", "green", "blue"), channels):
         with phase(f"solve[{name}]", logger):
-            res = reconstruct(dataset.images, dataset.geom, ch_cfg,
+            res = reconstruct(dataset.images, dataset.geom, dataset.cfg,
                               mode=args.mode, global_max=args.global_max,
                               chunk_size=args.chunk_size,
                               chunk_assign=args.chunk_assign,
                               use_pallas=args.use_pallas,
                               dft_precision=args.dft_precision)
-        save_results(res, os.path.join(args.output, name), ch_cfg)
+        save_results(res, os.path.join(args.output, name), dataset.cfg)
         amps.append(np.abs(res.obj_crop))
     rgb = np.stack(amps, axis=-1)
     rgb = rgb / (rgb.max() + 1e-30)

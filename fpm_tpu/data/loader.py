@@ -84,6 +84,25 @@ def _decode_image(path: str, color: bool, color_channel: int) -> np.ndarray:
     return arr.astype(np.uint16, copy=False)
 
 
+def _decode_image_rgb(path: str) -> np.ndarray:
+    """Decode one image ONCE to (3, H, W) uint16 RGB planes.
+
+    Grayscale inputs replicate to all three planes (matching what three
+    per-channel :func:`_decode_image` calls would each return).
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = np.broadcast_to(arr, (3,) + arr.shape)
+    else:
+        arr = np.moveaxis(arr[..., :3], -1, 0)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.uint16)
+    return arr.astype(np.uint16, copy=False)
+
+
 def preprocess_image(
     full_img: np.ndarray, cfg: FPMConfig, is_darkfield: bool
 ) -> tuple[np.ndarray, int]:
@@ -222,3 +241,76 @@ def load_dataset(
             images[i], bgs[i] = preprocess_image(full, cfg, geom.is_darkfield[i])
 
     return LoadedDataset(cfg=cfg, geom=geom, images=images, bg_values=bgs)
+
+
+def load_dataset_rgb(
+    cfg: FPMConfig,
+    use_native: bool | None = None,
+    num_threads: int = 0,
+) -> list[LoadedDataset]:
+    """Decode-once RGB ingestion: returns [R, G, B] channel datasets.
+
+    Each returned dataset is bit-identical to
+    ``load_dataset(replace(cfg, color=True, color_channel=bgr))`` for the
+    matching BGR channel index (R↔2, G↔1, B↔0) — per-channel background
+    estimation included — but every file is read and decoded exactly ONCE
+    instead of three times. This is the ingest path for ``--color-mode rgb``
+    (the reference decodes each color TIFF and then throws two channels
+    away, fpmMain.cpp:109-115; a naive per-channel loop repeats that 3×).
+    """
+    import dataclasses
+
+    found = scan_directory(cfg)
+    if not found:
+        raise FileNotFoundError(
+            f"no '{cfg.file_prefix}*{cfg.file_extension}' images in {cfg.dataset_root!r}"
+        )
+    led_numbers = np.array([n for n, _ in found], dtype=np.int32)
+    paths = {n: p for n, p in found}
+    coords = cfg.coordinates()
+    in_range = led_numbers <= len(coords)
+    if not in_range.all():
+        skipped = led_numbers[~in_range]
+        raise ValueError(
+            f"LED numbers {skipped[:5].tolist()}... exceed coordinate table "
+            f"({len(coords)} entries)"
+        )
+    geom = compute_geometry(cfg, coordinates=coords, led_numbers=led_numbers)
+
+    from .. import native
+
+    if use_native is None:
+        use_native = (
+            native.available()
+            and cfg.file_extension.lower() in (".tif", ".tiff")
+        )
+
+    k = geom.num_leds
+    if use_native:
+        images, bgs, status = native.load_and_preprocess_rgb(
+            [paths[n] for n in geom.led_numbers], cfg, geom.is_darkfield,
+            num_threads,
+        )
+        fallback = np.nonzero(status)[0]
+    else:
+        images = np.empty((k, 3, cfg.np_size, cfg.np_size), dtype=np.uint16)
+        bgs = np.empty((k, 3), dtype=np.int16)
+        fallback = np.arange(k)
+    for i in fallback:
+        planes = _decode_image_rgb(paths[int(geom.led_numbers[i])])
+        for c in range(3):
+            images[i, c], bgs[i, c] = preprocess_image(
+                planes[c], cfg, geom.is_darkfield[i]
+            )
+
+    out = []
+    for rgb_idx, bgr_idx in ((0, 2), (1, 1), (2, 0)):
+        ch_cfg = dataclasses.replace(cfg, color=True, color_channel=bgr_idx)
+        out.append(
+            LoadedDataset(
+                cfg=ch_cfg, geom=geom,
+                images=np.ascontiguousarray(images[:, rgb_idx]),
+                bg_values=np.ascontiguousarray(bgs[:, rgb_idx]),
+            )
+        )
+    return out

@@ -34,11 +34,11 @@ def _load() -> ctypes.CDLL | None:
                 abi = lib.fpm_abi_version()
             except AttributeError:
                 abi = 1
-            if abi != 3:
+            if abi != 4:
                 import warnings
 
                 warnings.warn(
-                    f"stale native library (ABI {abi}, need 3) at {path}; "
+                    f"stale native library (ABI {abi}, need 4) at {path}; "
                     "rebuild with make -C fpm_tpu/native — using the Python "
                     "loader", stacklevel=2,
                 )
@@ -109,6 +109,42 @@ def load_and_preprocess(paths, cfg, is_darkfield, num_threads: int = 0):
         float(cfg.bg_threshold), int(cfg.darkfield_exp_multiplier),
         df.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         (cfg.color_channel if cfg.color else -1),
+        num_threads,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        bgs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return images, bgs, status
+
+
+def load_and_preprocess_rgb(paths, cfg, is_darkfield, num_threads: int = 0):
+    """RGB decode-once: one decode per file, all 3 channels preprocessed.
+
+    Returns (images (n, 3, np, np) in RGB plane order, bgs (n, 3),
+    status (n,)). Each plane is bit-identical to running
+    :func:`load_and_preprocess` with that single channel configured — the
+    background estimate is computed per channel from that channel's full
+    frame — but every TIFF is read and parsed exactly once instead of three
+    times (the reference's ingest was ~12% of its runtime, BASELINE.md; the
+    naive RGB loop pays it three times over).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run make -C fpm_tpu/native")
+    n = len(paths)
+    np_sz = cfg.np_size
+    images = np.empty((n, 3, np_sz, np_sz), dtype=np.uint16)
+    bgs = np.empty((n, 3), dtype=np.int16)
+    status = np.empty(n, dtype=np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    df = np.ascontiguousarray(np.asarray(is_darkfield), dtype=np.uint8)
+    lib.fpm_load_stack(
+        c_paths, n,
+        cfg.crop_x, cfg.crop_y, np_sz,
+        cfg.bk1_crop_x, cfg.bk1_crop_y, cfg.bk2_crop_x, cfg.bk2_crop_y,
+        float(cfg.bg_threshold), int(cfg.darkfield_exp_multiplier),
+        df.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        -2,  # all-channels mode (ABI v4)
         num_threads,
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         bgs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),

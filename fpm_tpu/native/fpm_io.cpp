@@ -27,8 +27,13 @@
 namespace {
 
 struct Image {
-  std::vector<uint16_t> data;  // single channel, row-major
+  std::vector<uint16_t> data;  // plane-major (planes, h, w), row-major planes
   int w = 0, h = 0;
+  int planes = 1;  // 1 (single kept channel) or 3 (RGB planes, all-channel mode)
+
+  const uint16_t* plane(int c) const {
+    return data.data() + (size_t)(c < planes ? c : 0) * w * h;
+  }
 };
 
 struct Reader {
@@ -68,7 +73,8 @@ uint32_t entry_value(const Reader& r, size_t entry_off, uint32_t index) {
 }
 
 // Decode first IFD of a classic TIFF. channel_rgb: -1 = grayscale/first,
-// else RGB channel index to keep.
+// -2 = keep ALL channels as planes (RGB decode-once mode), else RGB channel
+// index to keep.
 bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
@@ -121,13 +127,16 @@ bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
   if (spp != 1 && spp != 3) return false;
   if (rows_per_strip == 0) rows_per_strip = height;
 
+  bool all_channels = (channel_rgb == -2);
   out.w = (int)width;
   out.h = (int)height;
-  out.data.assign((size_t)width * height, 0);
+  out.planes = all_channels ? (int)spp : 1;
+  out.data.assign((size_t)width * height * out.planes, 0);
 
-  int ch = (spp == 3) ? ((channel_rgb >= 0 && channel_rgb < 3) ? channel_rgb : 0) : 0;
+  int ch0 = (spp == 3) ? ((channel_rgb >= 0 && channel_rgb < 3) ? channel_rgb : 0) : 0;
   size_t bytes_per_px = (bits / 8) * spp;
   size_t row_bytes = (size_t)width * bytes_per_px;
+  size_t plane_px = (size_t)width * height;
 
   for (uint32_t s = 0; s < n_strips; s++) {
     size_t off = entry_value(r, strip_offsets_entry, s);
@@ -138,14 +147,18 @@ bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
     for (size_t dy = 0; dy < nrows && row0 + dy < height; dy++) {
       const uint8_t* src = buf.data() + off + dy * row_bytes;
       if (off + (dy + 1) * row_bytes > (size_t)sz) return false;
-      uint16_t* dst = out.data.data() + (row0 + dy) * width;
-      for (uint32_t x = 0; x < width; x++) {
-        const uint8_t* px = src + (size_t)x * bytes_per_px + (size_t)ch * (bits / 8);
-        if (bits == 8)
-          dst[x] = px[0];
-        else
-          dst[x] = r.big_endian ? (uint16_t)((px[0] << 8) | px[1])
-                                : (uint16_t)(px[0] | (px[1] << 8));
+      for (int c = 0; c < out.planes; c++) {
+        int ch = all_channels ? c : ch0;
+        uint16_t* dst = out.data.data() + (size_t)c * plane_px + (row0 + dy) * width;
+        for (uint32_t x = 0; x < width; x++) {
+          const uint8_t* px =
+              src + (size_t)x * bytes_per_px + (size_t)ch * (bits / 8);
+          if (bits == 8)
+            dst[x] = px[0];
+          else
+            dst[x] = r.big_endian ? (uint16_t)((px[0] << 8) | px[1])
+                                  : (uint16_t)(px[0] | (px[1] << 8));
+        }
       }
     }
   }
@@ -154,14 +167,15 @@ bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
 
 // Mean over a window clamped to image bounds (matches the Python loader's
 // clamped-slice mean; the reference assumes in-bounds windows).
-double window_mean(const Image& im, int x0, int y0, int n) {
+double window_mean(const Image& im, int c, int x0, int y0, int n) {
+  const uint16_t* p = im.plane(c);
   long long sum = 0;
   long count = 0;
   for (int y = y0; y < y0 + n && y < im.h; y++) {
     if (y < 0) continue;
     for (int x = x0; x < x0 + n && x < im.w; x++) {
       if (x < 0) continue;
-      sum += im.data[(size_t)y * im.w + x];
+      sum += p[(size_t)y * im.w + x];
       count++;
     }
   }
@@ -174,7 +188,7 @@ struct Job {
   double bg_threshold;
   int darkfield_mult;
   const uint8_t* is_darkfield;
-  int color_channel;  // BGR index, -1 = grayscale
+  int color_channel;  // BGR index, -1 = grayscale, -2 = all 3 RGB planes
   // Full-frame mode (large-FOV ingest): skip the ROI crop, write whole
   // (frame_h, frame_w) frames; frames of any other size are flagged for
   // the caller's Python fallback. frame_w == 0 selects ROI mode.
@@ -188,10 +202,14 @@ struct Job {
 
 void worker(Job* job) {
   // The reference keeps OpenCV BGR channel 2 = red (fpmMain.cpp:115,
-  // quirk 3); TIFF stores RGB, so BGR idx 2 → RGB idx 0.
-  int channel_rgb = -1;
+  // quirk 3); TIFF stores RGB, so BGR idx 2 → RGB idx 0. color_channel -2
+  // selects the RGB decode-once mode: one decode per file, all 3 planes
+  // preprocessed independently and written as (i, 3, h, w).
+  bool rgb_all = job->color_channel == -2;
+  int channel_rgb = rgb_all ? -2 : -1;
   if (job->color_channel >= 0) channel_rgb = 2 - job->color_channel;
   bool full_frame = job->frame_w > 0;
+  int out_planes = rgb_all ? 3 : 1;
 
   for (;;) {
     int i = job->next.fetch_add(1);
@@ -209,32 +227,39 @@ void worker(Job* job) {
     }
     if (!ok) {
       job->out_status[i] = 1;
-      job->out_bgs[i] = 0;
+      for (int c = 0; c < out_planes; c++) job->out_bgs[i * out_planes + c] = 0;
       job->n_failed.fetch_add(1);
       continue;
     }
-    // Background estimate from the full frame (fpmMain.cpp:131-140).
-    double bg = 0.5 * (window_mean(im, job->bk1x, job->bk1y, n) +
-                       window_mean(im, job->bk2x, job->bk2y, n));
-    if (bg > job->bg_threshold) bg = job->bg_threshold;
-    int bg_i = (int)lround(bg);
-    job->out_bgs[i] = (int16_t)bg_i;
-
     bool dark = job->is_darkfield[i] != 0 && job->darkfield_mult != 1;
     int out_h = full_frame ? im.h : n;
     int out_w = full_frame ? im.w : n;
     int y0 = full_frame ? 0 : job->crop_y;
     int x0 = full_frame ? 0 : job->crop_x;
-    uint16_t* dst = job->out_images + (size_t)i * out_h * out_w;
-    for (int y = 0; y < out_h; y++) {
-      const uint16_t* src = im.data.data() + (size_t)(y0 + y) * im.w + x0;
-      for (int x = 0; x < out_w; x++) {
-        double v = src[x];
-        if (dark) v = std::nearbyint(v / job->darkfield_mult);  // cvRound
-        v -= bg_i;                                              // saturating
-        if (v < 0) v = 0;
-        if (v > 65535) v = 65535;
-        dst[(size_t)y * out_w + x] = (uint16_t)v;
+
+    for (int c = 0; c < out_planes; c++) {
+      // Per-plane background estimate from that plane's full frame
+      // (fpmMain.cpp:131-140) — bit-identical to running the single-channel
+      // pipeline once per channel.
+      double bg = 0.5 * (window_mean(im, c, job->bk1x, job->bk1y, n) +
+                         window_mean(im, c, job->bk2x, job->bk2y, n));
+      if (bg > job->bg_threshold) bg = job->bg_threshold;
+      int bg_i = (int)lround(bg);
+      job->out_bgs[i * out_planes + c] = (int16_t)bg_i;
+
+      const uint16_t* plane = im.plane(c);
+      uint16_t* dst =
+          job->out_images + ((size_t)i * out_planes + c) * out_h * out_w;
+      for (int y = 0; y < out_h; y++) {
+        const uint16_t* src = plane + (size_t)(y0 + y) * im.w + x0;
+        for (int x = 0; x < out_w; x++) {
+          double v = src[x];
+          if (dark) v = std::nearbyint(v / job->darkfield_mult);  // cvRound
+          v -= bg_i;                                              // saturating
+          if (v < 0) v = 0;
+          if (v > 65535) v = 65535;
+          dst[(size_t)y * out_w + x] = (uint16_t)v;
+        }
       }
     }
   }
@@ -260,7 +285,9 @@ int run_job(Job& job, int n, int num_threads) {
 
 // ABI version for the ctypes binding (fpm_tpu/native/__init__.py refuses a
 // stale prebuilt library instead of calling it with the wrong signature).
-extern "C" int fpm_abi_version() { return 3; }
+// v4: color_channel == -2 selects RGB decode-once mode — out_images must be
+// (n, 3, np, np) and out_bgs (n, 3), RGB plane order.
+extern "C" int fpm_abi_version() { return 4; }
 
 extern "C" int fpm_load_stack(
     const char** paths, int n, int crop_x, int crop_y, int np_size, int bk1x,

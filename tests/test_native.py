@@ -108,6 +108,35 @@ def test_compressed_tiff_per_file_fallback(tmp_path, built):
     np.testing.assert_array_equal(ds_nat.bg_values, ds_py.bg_values)
 
 
+def test_rgb_decode_once_matches_per_channel_loads(tmp_path, built):
+    """load_dataset_rgb (one decode per file) is bit-identical to three
+    per-channel load_dataset calls, on both the native and Python paths —
+    including per-channel background estimates, a grayscale file mixed into
+    the color stack (replicates to all channels), and a compressed file that
+    the native decoder per-file-falls-back on."""
+    import dataclasses
+
+    from fpm_tpu.data.loader import load_dataset_rgb
+
+    rng = np.random.default_rng(21)
+    for led in (1, 2):
+        _write_rgb8(tmp_path / f"iLED_{led}.tif", rng)
+    _write_gray16(tmp_path / "iLED_3.tif", rng)  # gray file in a color stack
+    img = rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "iLED_4.tif", compression="tiff_lzw")
+    cfg = _make_cfg(tmp_path, color=True, darkfield_mult=3)
+
+    for use_native in (True, False):
+        channels = load_dataset_rgb(cfg, use_native=use_native)
+        assert len(channels) == 3
+        for ds, bgr in zip(channels, (2, 1, 0)):
+            ch_cfg = dataclasses.replace(cfg, color=True, color_channel=bgr)
+            ref = load_dataset(ch_cfg, use_native=use_native)
+            assert ds.cfg.color_channel == bgr
+            np.testing.assert_array_equal(ds.images, ref.images)
+            np.testing.assert_array_equal(ds.bg_values, ref.bg_values)
+
+
 def test_native_full_frames_matches_python(tmp_path, built):
     """fpm_load_frames (large-FOV ingest, no ROI crop) is bit-identical to
     the Python full-frame path, incl. darkfield division and bg subtract
