@@ -129,7 +129,23 @@ def bench_tpu(cfg, geom, images, reps=4, lo=10, hi=110, **solver_kwargs):
         return best
 
     t_lo, t_hi = timed(lo), timed(hi)
-    sec_per_iter = max((t_hi - t_lo) / (hi - lo), 1e-9)
+    # Degenerate-differential guard: a transient tunnel stall can inflate
+    # min(t_lo) past min(t_hi), yielding a nonsense (≤0) device time
+    # (observed once: "193e9 LED-frames/s"). Re-measure both ladder points;
+    # if still degenerate, fall back to t_hi/hi — an overhead-inclusive
+    # UPPER bound on device time (flagged on stderr), never a fake speedup.
+    for _ in range(2):
+        if t_hi > t_lo:
+            break
+        _log(f"bench: degenerate differential (t_lo={t_lo:.4f} >= "
+             f"t_hi={t_hi:.4f}), re-measuring")
+        t_lo, t_hi = timed(lo), timed(hi)
+    if t_hi > t_lo:
+        sec_per_iter = (t_hi - t_lo) / (hi - lo)
+    else:
+        sec_per_iter = t_hi / hi
+        _log("bench: differential still degenerate; reporting overhead-"
+             "inclusive upper bound t_hi/hi")
     return geom.num_leds / sec_per_iter, sec_per_iter
 
 
@@ -161,7 +177,8 @@ def bench_oracle(cfg, geom, images):
     return fps
 
 
-def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius, n_slots):
+def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius, n_slots,
+                     fft_stage_from_ablation=False):
     """Counted vs executed MXU FLOPs (honest accounting, VERDICT r2 weak #3).
 
     * ``counted`` — the naive full-patch matmul-DFT count over the K *real*
@@ -192,7 +209,7 @@ def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius, n_slots):
     )
     counted = 32 * n**3 * k
     executed = executed_per_led * n_slots
-    return {
+    out = {
         "counted_full_patch_tflops": round(counted / sec_per_iter / 1e12, 2),
         "executed_bbox_tflops": round(executed / sec_per_iter / 1e12, 2),
         "executed_bf16_mxu_tflops": round(3 * executed / sec_per_iter / 1e12, 2),
@@ -200,6 +217,27 @@ def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius, n_slots):
         "mxu_utilization_executed": round(3 * executed / sec_per_iter / 197e12, 3),
         "schedule_slots_per_sweep": n_slots,
     }
+    # ``fft_stage_mxu_efficiency`` — the BASELINE.json target is phrased as
+    # "≥80% of roofline FFT throughput per chip": the MXU efficiency of the
+    # DFT stage itself, separate from the serial VPU window traffic that
+    # bounds whole-kernel utilization at small patch sizes (benchmarks/
+    # MFU.md). Measured differentially from the committed kernel ablation
+    # (full − no-dft = wall time of the 4 batched matmul-DFT stages) at this
+    # same workload (mono, chunk 32); ideal = 3 bf16 passes × executed-bbox
+    # FLOPs at the 197 TF/s v5e peak. Only emitted when the caller's
+    # workload matches the ablation's (bench.py's mono headline) — the
+    # suite's other workloads have different per-slot DFT times.
+    if not fft_stage_from_ablation:
+        return out
+    try:
+        with open(os.path.join(_REPO, "benchmarks", "ablate_r4_chunked.json")) as f:
+            rows = {r["ablate"]: r["ns_per_slot"] for r in json.load(f)}
+        dft_stage_ns = rows["(full)"] - rows["no-dft"]
+        ideal_dft_ns = 3 * executed_per_led / 197e12 * 1e9
+        out["fft_stage_mxu_efficiency"] = round(ideal_dft_ns / dft_stage_ns, 3)
+    except (OSError, KeyError, ValueError):
+        pass
+    return out
 
 
 def _log(msg):
@@ -232,7 +270,8 @@ def main():
     if on_tpu:
         _perm, _mask, n_chunks = chunk_schedule(int(geom.num_leds), chunk, "strided")
         flops = _flop_accounting(
-            cfg, geom, sec_per_iter, pupil_radius(cfg), _perm.size
+            cfg, geom, sec_per_iter, pupil_radius(cfg), _perm.size,
+            fft_stage_from_ablation=True,
         )
         mode = f"batched(chunk{chunk}-strided, fused-pallas, bf16x3-dft)"
     else:

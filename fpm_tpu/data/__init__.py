@@ -8,5 +8,5 @@ shipped to the device once — the reference instead round-trips host↔device
 per LED inside its hot loop (fpmMain.cpp:380-381).
 """
 
-from .loader import load_dataset, LoadedDataset  # noqa: F401
+from .loader import load_dataset, load_dataset_rgb, LoadedDataset  # noqa: F401
 from .simulate import simulate_images, synthetic_dataset, make_test_object  # noqa: F401
