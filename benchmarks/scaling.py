@@ -466,7 +466,8 @@ on the mono workload's tiny compute and improve directly with patch size
 (dogStomach's per-LED compute is ~5× mono's for the same wire bytes).
 The two implemented levers change the picture: with bf16 payloads +
 stale pipelining, LED-axis weak scaling clears ≥85% at p=2–8 and tile-axis
-strong scaling reaches ~92% at p=2 (p=4 remains comm-bound at ~74% —
+strong scaling reaches ~{tile_lever[0]['efficiency'] * 100:.0f}% at p=2
+(p=4 remains comm-bound at ~{tile_lever[1]['efficiency'] * 100:.0f}% —
 strong scaling shrinks compute while the halo/pupil wire stays constant,
 the honest limit). This matches the scaling-book recipe: shard the axis
 whose per-device footprint grows, keep dense all-reduces off the critical
