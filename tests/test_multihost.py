@@ -25,13 +25,17 @@ from fpm_tpu.data.simulate import synthetic_dataset
 
 ds = synthetic_dataset(np_size=16, grid=5, seed=11)
 tile = int(sys.argv[2])
-use_pallas = len(sys.argv) > 3 and sys.argv[3] == "pallas"
+variant = sys.argv[3] if len(sys.argv) > 3 else ""
 kw = dict(iterations=3, dtype="complex128")
-if use_pallas:
+if variant in ("pallas", "levers"):
     # f32 fused_chunk_increments body (interpret mode on CPU) under
     # shard_map with vma=('led','tile') crossing a real process boundary.
     kw.update(dtype="complex64", chunk_size=8, use_pallas=True,
               dft_precision="highest")
+if variant == "levers":
+    # Both weak-scaling levers: bf16 consensus payloads + one-chunk-stale
+    # pipelining, with their collectives crossing the process boundary.
+    kw.update(comm_precision="bf16", stale_consensus=True)
 mesh = global_mesh(tile=tile)
 if tile == 1:
     from fpm_tpu.parallel.led_shard import reconstruct_led_sharded
@@ -45,7 +49,7 @@ if jax.process_index() == 0:
 
 
 def _run_two_process(tmp_path, tile: int, devices_per_proc: int = 2,
-                     pallas: bool = False) -> np.ndarray:
+                     variant: str = "") -> np.ndarray:
     port = _free_port()
     out = str(tmp_path / "objf.npy")
     procs = []
@@ -59,8 +63,8 @@ def _run_two_process(tmp_path, tile: int, devices_per_proc: int = 2,
             JAX_PLATFORM_NAME="cpu",
         )
         argv = [sys.executable, "-c", WORKER, out, str(tile)]
-        if pallas:
-            argv.append("pallas")
+        if variant:
+            argv.append(variant)
         procs.append(
             subprocess.Popen(
                 argv,
@@ -104,10 +108,38 @@ def test_two_process_tile_sharded_pallas_body(tmp_path):
     from fpm_tpu.data.simulate import synthetic_dataset
     from fpm_tpu.models.epry import reconstruct
 
-    got = _run_two_process(tmp_path, tile=2, devices_per_proc=1, pallas=True)
+    got = _run_two_process(tmp_path, tile=2, devices_per_proc=1,
+                           variant="pallas")
     ds = synthetic_dataset(np_size=16, grid=5, seed=11)
     ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
                       dtype="complex64", mode="batched", chunk_size=8)
+    rel = np.abs(got - ref.obj_f_centered).max() / np.abs(ref.obj_f_centered).max()
+    assert rel < 1e-5
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="linux-only harness")
+def test_two_process_levers_cross_process(tmp_path):
+    """Both weak-scaling levers across a REAL process boundary: bf16
+    consensus psums + reverse halo and one-chunk-stale pipelining
+    (SCALING.md's levered projections rest on these collectives), tile=2
+    over 2 procs × 1 device. Reference: the identical levered program on a
+    single-process 2-device mesh — same mesh shape, same chunk partition,
+    same stale trajectory; only the process layout differs."""
+    import jax
+
+    from fpm_tpu.data.simulate import synthetic_dataset
+    from fpm_tpu.parallel.mesh import make_mesh
+    from fpm_tpu.parallel.tile_shard import reconstruct_tile_sharded
+
+    got = _run_two_process(tmp_path, tile=2, devices_per_proc=1,
+                           variant="levers")
+    ds = synthetic_dataset(np_size=16, grid=5, seed=11)
+    mesh = make_mesh(led=1, tile=2, devices=jax.devices()[:2])
+    ref = reconstruct_tile_sharded(
+        ds.images, ds.geom, ds.cfg, mesh=mesh, iterations=3,
+        dtype="complex64", chunk_size=8, use_pallas=True,
+        dft_precision="highest", comm_precision="bf16", stale_consensus=True,
+    )
     rel = np.abs(got - ref.obj_f_centered).max() / np.abs(ref.obj_f_centered).max()
     assert rel < 1e-5
 
