@@ -87,7 +87,7 @@ def make_problem():
     return cfg, geom, images
 
 
-def bench_tpu(cfg, geom, images, reps=8, lo=10, hi=110, **solver_kwargs):
+def bench_tpu(cfg, geom, images, reps=8, lo=10, hi=210, **solver_kwargs):
     """Steady-state device LED-frames/s of the jitted solver.
 
     Methodology (this rig's TPU is reached through a tunnel with two
