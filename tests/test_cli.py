@@ -195,6 +195,32 @@ def test_mesh_run(tmp_path):
     assert np.sqrt(((a * s - t) ** 2).mean()) / t.mean() < 0.15
 
 
+def test_mesh_checkpoint_resume_matches_straight(tmp_path):
+    """Checkpoint/resume on the multi-device --mesh path: a 4-iteration
+    checkpointed mesh run resumed to 6 iterations must bitwise-match the
+    uninterrupted 6-iteration mesh run (the fingerprint pins mesh/chunk
+    options but deliberately NOT the total iteration count, so a run can
+    be extended by resuming)."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    mesh_args = ["--dtype", "complex128", "--mesh", "2", "2",
+                 "--chunk-size", "8", "--no-native"]
+    out_a = str(tmp_path / "straight")
+    out_b = str(tmp_path / "resumed")
+    assert main(["run", cfg_path, "-n", "6", "-o", out_a] + mesh_args) == 0
+    assert main(["run", cfg_path, "-n", "4", "-o", out_b,
+                 "--checkpoint-every", "2"] + mesh_args) == 0
+    # The run's final state is written as results, not a checkpoint — the
+    # latest checkpoint is ckpt_2; resume re-runs iterations 3-6.
+    assert os.path.exists(os.path.join(out_b, "ckpt_2.npz"))
+    assert main(["run", cfg_path, "-n", "6", "-o", out_b, "--resume",
+                 "--checkpoint-every", "2"] + mesh_args) == 0
+    a = np.load(os.path.join(out_a, "object.npy"))
+    b = np.load(os.path.join(out_b, "object.npy"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_mesh_run_forwards_solver_options(tmp_path):
     """VERDICT r3 weak #1 regression: the --mesh path must run the same
     chunked solver options as the single-device batched path. Previously
