@@ -22,8 +22,12 @@ import os
 import numpy as np
 
 
-class CheckpointMismatch(RuntimeError):
-    """Resume was attempted with a different problem/solver configuration."""
+class CheckpointMismatch(ValueError):
+    """Resume was attempted with a different problem/solver configuration.
+
+    Subclasses ValueError so the CLI's clean one-line error handler
+    catches it (a strict --resume mismatch must exit 1 with the message,
+    not a traceback)."""
 
 
 def fingerprint(cfg, geom=None, **solver_opts) -> dict:

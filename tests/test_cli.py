@@ -195,6 +195,39 @@ def test_mesh_run(tmp_path):
     assert np.sqrt(((a * s - t) ** 2).mean()) / t.mean() < 0.15
 
 
+def test_resume_refuses_fingerprint_mismatch_unless_unsafe(tmp_path):
+    """--resume refuses a checkpoint written under different trajectory
+    options (silent-divergence guard); --resume-unsafe is the documented
+    escape hatch (advisor r3 finding) and proceeds."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    out = str(tmp_path / "out")
+    base = ["--dtype", "complex128", "--no-native", "--mode", "batched"]
+    assert main(["run", cfg_path, "-n", "4", "-o", out,
+                 "--checkpoint-every", "2", "--chunk-size", "8"] + base) == 0
+    # chunk_size changes the trajectory → strict resume must refuse
+    assert main(["run", cfg_path, "-n", "6", "-o", out, "--resume",
+                 "--chunk-size", "4"] + base) == 1
+    assert main(["run", cfg_path, "-n", "6", "-o", out, "--resume",
+                 "--resume-unsafe", "--chunk-size", "4"] + base) == 0
+    assert os.path.exists(os.path.join(out, "object.npy"))
+
+
+def test_trace_dir_writes_profile(tmp_path):
+    """--trace-dir produces a jax.profiler trace (the reference's only
+    profiling story was an external gprof run, SURVEY.md §5)."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    trace = str(tmp_path / "trace")
+    assert main(["run", cfg_path, "-n", "2", "-o", str(tmp_path / "out"),
+                 "--dtype", "complex128", "--no-native",
+                 "--trace-dir", trace]) == 0
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(trace) for f in fs]
+    assert files, "trace directory is empty"
+
+
 def test_mesh_checkpoint_resume_matches_straight(tmp_path):
     """Checkpoint/resume on the multi-device --mesh path: a 4-iteration
     checkpointed mesh run resumed to 6 iterations must bitwise-match the
