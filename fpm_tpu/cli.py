@@ -138,9 +138,11 @@ def main(argv=None) -> int:
             return _cmd_info(args)
         if args.cmd == "simulate":
             return _cmd_simulate(args)
-    except (FileNotFoundError, ValueError) as e:
+    except (OSError, ValueError) as e:
         # Clean one-line errors (the reference printed "ERROR: Could not
-        # Open Directory." and friends, fpmMain.cpp:266-270).
+        # Open Directory." and friends, fpmMain.cpp:266-270). OSError also
+        # covers FileNotFoundError and PIL's UnidentifiedImageError (a
+        # corrupt frame in the stack must not dump a traceback).
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
     return 2

@@ -214,6 +214,19 @@ def test_resume_refuses_fingerprint_mismatch_unless_unsafe(tmp_path):
     assert os.path.exists(os.path.join(out, "object.npy"))
 
 
+def test_corrupt_frame_clean_error(tmp_path):
+    """A corrupt/undecodable frame in the stack exits 1 with a one-line
+    ERROR (the reference's style, fpmMain.cpp:266-270), not a traceback."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    led = 13  # overwrite one frame with garbage bytes
+    with open(os.path.join(data_dir, f"iLED_{led}.tif"), "wb") as f:
+        f.write(b"not a tiff at all")
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    assert main(["run", cfg_path, "-n", "2", "-o", str(tmp_path / "out"),
+                 "--dtype", "complex128", "--no-native"]) == 1
+
+
 def test_trace_dir_writes_profile(tmp_path):
     """--trace-dir produces a jax.profiler trace (the reference's only
     profiling story was an external gprof run, SURVEY.md §5)."""
