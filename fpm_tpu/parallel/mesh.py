@@ -40,6 +40,11 @@ def make_mesh(
     n = len(devices)
     if led is None:
         led = n // tile
+    if led * tile > n:
+        raise ValueError(
+            f"mesh led={led} x tile={tile} needs {led * tile} devices; "
+            f"only {n} available"
+        )
     if led * tile != n:
         devices = devices[: led * tile]
     arr = np.asarray(devices).reshape(led, tile)
