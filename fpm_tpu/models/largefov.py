@@ -59,6 +59,8 @@ def roi_origins(
     """
     np_sz = cfg.np_size
     rows, cols = grid
+    if rows < 1 or cols < 1:
+        raise ValueError(f"tile grid {grid} must be at least 1x1")
     stride = np_sz - overlap
     if stride <= 0:
         raise ValueError(f"overlap {overlap} must be < Np {np_sz}")
