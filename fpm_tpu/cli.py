@@ -266,6 +266,8 @@ def _cmd_run(args) -> int:
 
     iterations = args.iterations if args.iterations is not None else args.iterations_pos
     cfg = load_config(args.config, iterations=iterations)
+    if cfg.iterations < 1:
+        raise ValueError(f"iteration count must be >= 1, got {cfg.iterations}")
     if args.dtype:
         cfg.dtype = args.dtype
     if args.debug:

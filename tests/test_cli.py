@@ -214,6 +214,16 @@ def test_resume_refuses_fingerprint_mismatch_unless_unsafe(tmp_path):
     assert os.path.exists(os.path.join(out, "object.npy"))
 
 
+def test_zero_iterations_clean_error(tmp_path):
+    """-n 0 previously fell through the solve loop with result=None and
+    crashed at output; it must exit 1 with a one-line error."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    assert main(["run", cfg_path, "-n", "0", "-o", str(tmp_path / "out"),
+                 "--dtype", "complex128", "--no-native"]) == 1
+
+
 def test_corrupt_frame_clean_error(tmp_path):
     """A corrupt/undecodable frame in the stack exits 1 with a one-line
     ERROR (the reference's style, fpmMain.cpp:266-270), not a traceback."""
