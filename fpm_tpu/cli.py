@@ -196,6 +196,10 @@ def _cmd_simulate(args) -> int:
 
     from .data.simulate import synthetic_dataset
 
+    if args.grid < 1:
+        raise ValueError(f"--grid must be >= 1, got {args.grid}")
+    if args.np_size < 4:
+        raise ValueError(f"--np-size must be >= 4, got {args.np_size}")
     sim_size = args.frame_size or args.np_size
     if sim_size < args.np_size:
         raise ValueError("--frame-size must be >= --np-size")
