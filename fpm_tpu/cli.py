@@ -124,6 +124,12 @@ def main(argv=None) -> int:
                        help="simulate full camera frames of this size "
                             "(> np-size) for large-FOV mode; cropSizeX in "
                             "the written config stays np-size")
+    p_sim.add_argument("--jitter", type=float, default=0.0,
+                       help="deterministic LED-position jitter as a fraction "
+                            "of grid spacing; breaks the symmetric grid's "
+                            "exact NA ties so the processing schedule is "
+                            "unique (the reference's std::sort is unstable "
+                            "on ties, fpmMain.h:111)")
     p_sim.add_argument("--darkfield-exp", type=int, default=1,
                        help="darkfieldExpMultiplier: written frames of "
                             "darkfield LEDs carry this exposure boost and "
@@ -204,7 +210,7 @@ def _cmd_simulate(args) -> int:
     if sim_size < args.np_size:
         raise ValueError("--frame-size must be >= --np-size")
     ds = synthetic_dataset(np_size=sim_size, grid=args.grid, seed=args.seed,
-                           quantize=True, raw_frames=True,
+                           quantize=True, raw_frames=True, jitter=args.jitter,
                            darkfield_exp_multiplier=args.darkfield_exp)
     os.makedirs(args.out_dir, exist_ok=True)
     # Write TIFFs in the reference's file layout ({prefix}{led#}{ext}) so the

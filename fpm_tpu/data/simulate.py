@@ -103,6 +103,7 @@ def synthetic_dataset(
     quantize: bool = False,
     aberrated_pupil: bool = False,
     raw_frames: bool = False,
+    jitter: float = 0.0,
     **cfg_overrides,
 ) -> SyntheticDataset:
     """A fully hermetic small FPM problem (planar LED grid, rif=3).
@@ -136,7 +137,24 @@ def synthetic_dataset(
     h = 60.0
     lin = np.linspace(-0.3 * h, 0.3 * h, grid)
     gx, gy = np.meshgrid(lin, lin, indexing="xy")
+    if jitter:
+        # Symmetric grids produce exactly-tied illumination NAs, which the
+        # reference orders with an UNSTABLE std::sort (fpmMain.h:111) — its
+        # tie order is an implementation detail of the host's STL. A small
+        # deterministic position jitter makes every NA distinct so the
+        # schedule is unique, which the reference-binary parity harness
+        # (tests/test_reference_binary.py) requires to compare trajectories.
+        spacing = 0.6 * h / max(grid - 1, 1)
+        jr = np.random.default_rng(seed + 0x5EED)
+        gx = gx + jr.uniform(-jitter, jitter, gx.shape) * spacing
+        gy = gy + jr.uniform(-jitter, jitter, gy.shape) * spacing
     coords = np.stack([gx.ravel(), gy.ravel(), np.full(grid * grid, h)], axis=1)
+    # Round through float32: the reference parses hole coordinates with
+    # JsonCpp's asFloat() (fpmMain.cpp:77-79), so only float32-representable
+    # positions survive its ingestion. Building the simulation geometry from
+    # already-rounded values keeps this pipeline, the written dataset.json,
+    # and the reference binary in exact agreement on the geometry inputs.
+    coords = coords.astype(np.float32).astype(np.float64)
     cfg = FPMConfig(hole_coordinates=coords, **params)
     geom = compute_geometry(cfg)
 

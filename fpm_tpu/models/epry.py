@@ -207,10 +207,13 @@ def init_state(cfg: FPMConfig, geom: LEDGeometry, amps_sorted: jax.Array, dtype=
 def _amp_replace(obj_crop_p, amp, eps):
     """Phase-preserving amplitude replacement (fpmMain.cpp:377-394).
 
-    ``eps`` is added to the real part only, matching the reference's
-    ``cv::add(ObjcropP, eps, ...)`` scalar-add semantics.
+    ``eps`` is added to BOTH the real and imaginary channels: OpenCV's
+    ``cv::add(mat2ch, double)`` unrolls a 1-element scalar across every
+    channel (verified empirically against this rig's OpenCV 4.6 via
+    native/refshim/cv_probe.cpp, and end-to-end against the compiled
+    reference binary in tests/test_reference_binary.py).
     """
-    return obj_crop_p / jnp.abs(obj_crop_p + eps) * amp
+    return obj_crop_p / jnp.abs(obj_crop_p + eps * (1 + 1j)) * amp
 
 
 def _object_delta(diff, pupil, delta2):

@@ -425,10 +425,11 @@ def _sweep_kernel(
         img_i = img2[:, nl:]
 
     # --- amplitude replacement preserving phase (fpmMain.cpp:377-394);
-    #     eps on the real part only, as the reference's scalar cv::add.
+    #     eps on BOTH channels (cv::add scalar-unroll semantics, verified
+    #     against the compiled reference binary in test_reference_binary).
     #     Zero-padded region: img = 0, amp = 0 → rep = 0 stays exact.
     amp = amp_ref[0]
-    mag2 = (img_r + eps) ** 2 + img_i ** 2
+    mag2 = (img_r + eps) ** 2 + (img_i + eps) ** 2
     scale = amp * jax.lax.rsqrt(mag2)
     rep_r = img_r * scale
     rep_i = img_i * scale
@@ -603,8 +604,9 @@ def _batched_chunk_forward(
         img_i = img2[:, nl:]
 
     # amplitude replacement, whole chunk at once (fpmMain.cpp:377-394);
-    # eps on the real part only. Padded rows: img = 0, amp = 0 → rep = 0.
-    mag2 = (img_r + eps) ** 2 + img_i ** 2
+    # eps on BOTH channels (cv::add scalar-unroll, see test_reference_binary).
+    # Padded rows: img = 0, amp = 0 → rep = 0.
+    mag2 = (img_r + eps) ** 2 + (img_i + eps) ** 2
     scale = amp2d * jax.lax.rsqrt(mag2)
     rep_r = img_r * scale
     rep_i = img_i * scale

@@ -83,9 +83,12 @@ def run_fpm_oracle(
             objf_crop_p = objf_crop * pupil
             obj_crop_p = np.fft.ifft2(objf_crop_p)
 
-            # Amplitude replacement preserving phase (fpmMain.cpp:377-394);
-            # eps is added to the real channel only (cv::add scalar).
-            ratio = obj_crop_p / np.abs(obj_crop_p + eps)
+            # Amplitude replacement preserving phase (fpmMain.cpp:377-394).
+            # cv::add(mat2ch, double) unrolls the scalar across BOTH channels
+            # (convertAndUnrollScalar replicates a 1-element scalar to every
+            # channel — verified empirically via native/refshim/cv_probe.cpp
+            # on this rig's OpenCV 4.6), so eps lands on real AND imaginary.
+            ratio = obj_crop_p / np.abs(obj_crop_p + eps * (1 + 1j))
             objf_up = np.fft.fft2(ratio * amps[pos])
 
             # Object update, quasi-Newton/PIE (fpmMain.cpp:404-447).
