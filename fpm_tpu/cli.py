@@ -310,14 +310,18 @@ def _cmd_run(args) -> int:
         list(cfg.tile_grid) if tuple(cfg.tile_grid) != (1, 1) else None
     )
     effective_mode = "batched" if mesh_req else args.mode
-    # The Pallas chunked kernel clamps oversize chunks to its compile
-    # ceiling (models/epry.py effective_chunk_size); record what will
-    # actually execute, not what was requested.
+    # Chunk clamping (Pallas compile ceiling, LED-shard divisibility
+    # round-up) can move the requested chunk; record what will actually
+    # execute, not what was requested. effective_chunk_size is the same
+    # function every solver path clamps with; a pure LED mesh ("led p 1")
+    # scales the ceiling by n_led and rounds up to a multiple of it, the
+    # tile mesh and single-device paths clamp at n_led=1.
     from .models.epry import effective_chunk_size
 
+    n_led_fp = mesh_req[0] if (mesh_req and mesh_req[1] == 1) else 1
     eff_chunk = effective_chunk_size(
         cfg.np_size, args.chunk_size, int(dataset.geom.num_leds),
-        bool(args.use_pallas), effective_mode,
+        bool(args.use_pallas), effective_mode, n_led=n_led_fp,
     )
 
     # Provenance fingerprint: everything that changes the iteration

@@ -356,25 +356,48 @@ def sweep_batched_pallas(obj_f, pupil, amps_it, starts_it, mask, *, support,
 
 
 def effective_chunk_size(np_size: int, chunk_size: int, k: int,
-                         use_pallas: bool, mode: str) -> int:
-    """The chunk size that will actually run, after the Pallas compile guard.
+                         use_pallas: bool, mode: str, n_led: int = 1) -> int:
+    """The chunk size that will actually run, on every solver path.
 
-    The fused chunked kernel has an empirically calibrated Mosaic compile
-    ceiling on stacked rows per chunk (ops/pallas_kernels.py
-    ``_CHUNK_ROWS_LIMIT``); requests beyond it are clamped rather than
-    crashing remote compilation. Clamping never hurts convergence — smaller
-    chunks are strictly closer to the sequential Gauss–Seidel trajectory
-    (module docstring). XLA-path and sequential-mode requests pass through
-    unchanged. Used by :func:`reconstruct` and by the CLI's provenance
-    fingerprint so recorded options match what executed.
+    The single source of truth for chunk clamping, used by
+    :func:`reconstruct`, ``parallel.led_shard.reconstruct_led_sharded``,
+    ``parallel.tile_shard.reconstruct_tile_sharded`` AND the CLI's
+    provenance fingerprint — provenance must record what executed, or a
+    later ``--resume`` under the recorded options silently follows a
+    different trajectory (the exact failure the fingerprint exists to
+    prevent).
+
+    Two transformations can move the request:
+
+    * Pallas compile ceiling: the fused chunked kernel has an empirically
+      calibrated Mosaic limit on stacked rows per chunk
+      (ops/pallas_kernels.py ``_CHUNK_ROWS_LIMIT``); requests beyond it are
+      clamped rather than crashing remote compilation. On an LED-sharded
+      mesh the per-device slice is ``chunk/n_led``, so the global cap is
+      ``max_pallas_chunk(np) * n_led``. Clamping never hurts convergence —
+      smaller chunks are strictly closer to the sequential Gauss–Seidel
+      trajectory (module docstring).
+    * LED-shard divisibility: ``reconstruct_led_sharded`` rounds the chunk
+      UP to a multiple of ``n_led`` so every device gets an equal slice
+      (padded with masked dummies), on the XLA and Pallas paths alike.
+
+    Sequential mode passes through unchanged (``chunk_size`` is unused
+    there); so does the single-device XLA batched path (``chunk_schedule``
+    accepts any positive chunk as-is).
     """
-    if not (use_pallas and mode == "batched"):
+    if mode != "batched":
         return chunk_size
-    from ..ops.pallas_kernels import max_pallas_chunk
-
-    cap = max_pallas_chunk(np_size)
     eff = chunk_size if chunk_size > 0 else k
-    return min(eff, cap, k)
+    if use_pallas:
+        from ..ops.pallas_kernels import max_pallas_chunk
+
+        cap = max_pallas_chunk(np_size) * n_led
+        eff = min(eff, cap, k) if n_led == 1 else min(eff, cap)
+    elif n_led == 1:
+        return chunk_size
+    if n_led > 1:
+        eff = -(-eff // n_led) * n_led
+    return eff
 
 
 def chunk_schedule(k: int, chunk_size: int, assign: str) -> tuple[np.ndarray, np.ndarray, int]:

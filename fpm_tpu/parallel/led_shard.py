@@ -264,27 +264,26 @@ def prepare_led_sharded(
 
     amps, starts = _sorted_device_inputs(images, geom, dtype)
     k = amps.shape[0]
-    if opts.use_pallas:
-        # Per-device chunk slice = chunk/n_led must fit the fused kernel's
-        # compile ceiling (ops/pallas_kernels.py); clamp with a notice.
-        import dataclasses as _dc
+    # Single source of truth for what chunk actually runs (Pallas compile
+    # ceiling over n_led devices + round-up to a multiple of n_led) — the
+    # same function the CLI fingerprint calls, so provenance ≡ execution.
+    import dataclasses as _dc
 
-        from ..ops.pallas_kernels import max_pallas_chunk
+    from ..models.epry import effective_chunk_size
 
-        cap = max_pallas_chunk(cfg.np_size) * n_led
-        requested = opts.chunk_size if opts.chunk_size > 0 else k
-        if requested > cap:
-            print(f"[fpm-tpu] pallas chunked kernel: chunk_size {requested} "
-                  f"exceeds the compile ceiling at Np={cfg.np_size} over "
-                  f"{n_led} devices; clamped to {cap}")
-            opts = _dc.replace(opts, chunk_size=cap)
+    requested = opts.chunk_size if opts.chunk_size > 0 else k
+    c_eff = effective_chunk_size(cfg.np_size, opts.chunk_size, k,
+                                 opts.use_pallas, "batched", n_led=n_led)
+    if opts.use_pallas and c_eff < requested:
+        print(f"[fpm-tpu] pallas chunked kernel: chunk_size {requested} "
+              f"exceeds the compile ceiling at Np={cfg.np_size} over "
+              f"{n_led} devices; clamped to {c_eff}")
+    opts = _dc.replace(opts, chunk_size=c_eff)
     obj_f, pupil, support = init_state(cfg, geom, amps, dtype=dtype)
     if initial_state is not None:  # checkpoint resume
         obj_f = jnp.asarray(initial_state[0], dtype=dtype)
         pupil = jnp.asarray(initial_state[1], dtype=dtype)
 
-    c_req = opts.chunk_size if opts.chunk_size > 0 else k
-    c_eff = -(-c_req // n_led) * n_led
     perm, mask_np, n_chunks = chunk_schedule(k, c_eff, opts.chunk_assign)
     pad = perm.size - k
     if pad:
