@@ -529,7 +529,9 @@ def _run_large_fov(args, cfg, logger) -> int:
     import numpy as np
 
     from .data.loader import load_dataset
+    from .models.epry import effective_chunk_size
     from .models.largefov import reconstruct_large_fov
+    from .utils.checkpoint import TileStore, fingerprint
     from .utils.outputs import SHOW_AMP_PHASE, save_complex_img
     from .utils.profiling import phase
 
@@ -537,11 +539,46 @@ def _run_large_fov(args, cfg, logger) -> int:
         dataset = load_dataset(cfg, full_frames=True,
                                use_native=False if args.no_native else None)
     rows, cols = args.fov_grid
+    eff_chunk = effective_chunk_size(
+        cfg.np_size, args.chunk_size, int(dataset.geom.num_leds),
+        bool(args.use_pallas), args.mode,
+    )
     solver_kwargs = dict(
         mode=args.mode, global_max=args.global_max,
         chunk_size=args.chunk_size, chunk_assign=args.chunk_assign,
         use_pallas=args.use_pallas, dft_precision=args.dft_precision,
     )
+
+    # Per-tile fault tolerance (the production long-running mode): any
+    # --checkpoint-every > 0 enables per-tile persistence under
+    # out/tiles/; --resume loads completed tiles (fingerprint-checked)
+    # instead of re-solving them. Tile granularity — the per-sweep
+    # interval doesn't apply to independent per-tile solves.
+    run_fp = fingerprint(
+        cfg, dataset.geom, fov_grid=f"{rows}x{cols}",
+        fov_overlap=args.fov_overlap, mode=args.mode,
+        chunk_size=eff_chunk, chunk_assign=args.chunk_assign,
+        global_max=args.global_max, use_pallas=bool(args.use_pallas),
+        dft_precision=args.dft_precision,
+    )
+    tile_store = None
+    if args.checkpoint_every > 0 or args.resume:
+        tile_store = TileStore(
+            os.path.join(args.output, "tiles"), meta=run_fp,
+            resume=bool(args.resume), strict=not args.resume_unsafe,
+        )
+
+    watchdog = None
+    if args.watchdog_timeout > 0:
+        from .utils.watchdog import Watchdog
+
+        watchdog = Watchdog(args.watchdog_timeout).start()
+
+    def on_tile(r, c, t):
+        logger.log("tile", row=r, col=c,
+                   data_residual=float(t.metrics["data_residual"][-1]))
+        if watchdog is not None:
+            watchdog.beat()
 
     n_dev = jax.device_count()
     with phase("solve", logger):
@@ -561,21 +598,18 @@ def _run_large_fov(args, cfg, logger) -> int:
             res = reconstruct_large_fov_sharded(
                 dataset.images, dataset.geom, cfg,
                 grid=(rows, cols), overlap=args.fov_overlap,
-                mesh=make_roi_mesh(), **solver_kwargs,
+                mesh=make_roi_mesh(), progress=on_tile,
+                tile_store=tile_store, **solver_kwargs,
             )
-            for i, t in enumerate(res.tiles):
-                logger.log("tile", row=i // cols, col=i % cols,
-                           data_residual=float(t.metrics["data_residual"][-1]))
         else:
             print(f"[fpm-tpu] large-FOV: {rows}x{cols} tiles of Np={cfg.np_size}")
             res = reconstruct_large_fov(
                 dataset.images, dataset.geom, cfg,
                 grid=(rows, cols), overlap=args.fov_overlap,
-                progress=lambda r, c, t: logger.log(
-                    "tile", row=r, col=c,
-                    data_residual=float(t.metrics["data_residual"][-1])),
-                **solver_kwargs,
+                progress=on_tile, tile_store=tile_store, **solver_kwargs,
             )
+    if watchdog is not None:
+        watchdog.stop()
 
     with phase("output", logger):
         np.save(os.path.join(args.output, "object_stitched.npy"), res.stitched)
@@ -590,28 +624,103 @@ def _run_rgb(args, cfg, logger) -> int:
     import numpy as np
 
     from .data.loader import load_dataset_rgb
-    from .models.epry import reconstruct
+    from .models.epry import effective_chunk_size, reconstruct_channels
+    from .utils.checkpoint import (
+        fingerprint,
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
     from .utils.outputs import save_png, save_results
     from .utils.profiling import phase
 
     # Decode-once ingestion: every TIFF is read and parsed a single time and
     # all three channels are preprocessed from that one decode (bit-identical
-    # to three per-channel loads; tests/test_loader.py pins it).
+    # to three per-channel loads; tests/test_loader.py pins it). Peak host
+    # memory holds all three uint16 channel stacks at once (vs one for a
+    # per-channel loop) — the price of decoding each file once.
     with phase("ingest[rgb]", logger):
         channels = load_dataset_rgb(
             cfg, use_native=False if args.no_native else None
         )
+    geom = channels[0].geom
+
+    # The three channels are identical-shape independent problems sharing
+    # one geometry; they solve as ONE compiled program with a channel axis
+    # (models/epry.py reconstruct_channels) — bitwise-identical to three
+    # sequential solves (tests/test_solver_parity.py pins it).
+    eff_chunk = effective_chunk_size(
+        cfg.np_size, args.chunk_size, int(geom.num_leds),
+        bool(args.use_pallas), args.mode,
+    )
+    solver_kwargs = dict(mode=args.mode, global_max=args.global_max,
+                         chunk_size=args.chunk_size,
+                         chunk_assign=args.chunk_assign,
+                         use_pallas=args.use_pallas,
+                         dft_precision=args.dft_precision)
+    run_fp = fingerprint(
+        cfg, geom, color_mode="rgb", mode=args.mode, chunk_size=eff_chunk,
+        chunk_assign=args.chunk_assign, global_max=args.global_max,
+        use_pallas=bool(args.use_pallas), dft_precision=args.dft_precision,
+    )
+    logger.log("solver_options", color_mode="rgb", channels=3,
+               chunk_size=eff_chunk, **{k: v for k, v in
+                                        solver_kwargs.items()
+                                        if k != "chunk_size"})
+
+    # Same sweep-granular checkpoint/resume contract as the single-ROI
+    # path: the stacked (3, ...) channel state checkpoints every
+    # --checkpoint-every sweeps under the provenance fingerprint.
+    initial_state, start_iter = None, 0
+    if args.resume:
+        ck = latest_checkpoint(args.output)
+        if ck:
+            obj_f, pupil, start_iter = load_checkpoint(
+                ck, expect=run_fp, strict=not args.resume_unsafe
+            )
+            initial_state = (obj_f, pupil)
+            print(f"[fpm-tpu] resuming from {ck} (iteration {start_iter})")
+
+    total = cfg.iterations
+    chunk = args.checkpoint_every if args.checkpoint_every > 0 else total
+    watchdog = None
+    if args.watchdog_timeout > 0:
+        from .utils.watchdog import Watchdog
+
+        watchdog = Watchdog(args.watchdog_timeout).start()
+
+    results = None
+    with phase("solve[rgb]", logger):
+        done = start_iter
+        while done < total:
+            step = min(chunk, total - done)
+            results = reconstruct_channels(
+                [d.images for d in channels], geom, cfg,
+                iterations=step, initial_state=initial_state,
+                **solver_kwargs,
+            )
+            done += step
+            if watchdog is not None:
+                watchdog.beat()
+            initial_state = (
+                np.stack([r.obj_f_centered for r in results]),
+                np.stack([r.pupil for r in results]),
+            )
+            logger.log("iterations", done=done, **{
+                name: float(r.metrics["data_residual"][-1])
+                for name, r in zip(("red", "green", "blue"), results)
+            })
+            if (args.checkpoint_every > 0 and done < total
+                    and done % args.checkpoint_every == 0):
+                save_checkpoint(
+                    os.path.join(args.output, f"ckpt_{done}.npz"),
+                    initial_state[0], initial_state[1], done, meta=run_fp,
+                )
+    if watchdog is not None:
+        watchdog.stop()
 
     amps = []
-    # All three solves share one compiled program (identical shapes/options).
-    for name, dataset in zip(("red", "green", "blue"), channels):
-        with phase(f"solve[{name}]", logger):
-            res = reconstruct(dataset.images, dataset.geom, dataset.cfg,
-                              mode=args.mode, global_max=args.global_max,
-                              chunk_size=args.chunk_size,
-                              chunk_assign=args.chunk_assign,
-                              use_pallas=args.use_pallas,
-                              dft_precision=args.dft_precision)
+    for name, res, dataset in zip(("red", "green", "blue"), results, channels):
         save_results(res, os.path.join(args.output, name), dataset.cfg)
         amps.append(np.abs(res.obj_crop))
     rgb = np.stack(amps, axis=-1)

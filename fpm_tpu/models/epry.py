@@ -506,14 +506,15 @@ def _unplanes_np(p: np.ndarray) -> np.ndarray:
     return np.asarray(p[0]) + 1j * np.asarray(p[1])
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "use_init"))
-def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, use_init: bool):
-    """The whole reconstruction as one compiled program.
+def _run_body(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, use_init: bool):
+    """The whole reconstruction as one traceable computation.
 
     Every argument and result is a real array: complex fields exist only
     inside the compiled computation (the reference's CV_64FC2 2-plane layout
     at the boundary, native complex inside). ``obj_init``/``pupil_init`` are
     (2, ...) real/imag planes used when ``use_init`` (checkpoint resume).
+    Jitted as :func:`_run_jit` (one problem) and batched over independent
+    same-geometry problems by :func:`_run_jit_channels` (RGB channels).
     """
     dtype = opts.cdtype
     support = support_r.astype(dtype)
@@ -537,6 +538,35 @@ def _run_jit(amps, starts, support_r, obj_init, pupil_init, opts: EPRYOptions, u
     # only the final one is observable, so compute it once.
     obj_crop = ifft2(ifftshift2d(obj_f))
     return _planes(obj_f), _planes(pupil), _planes(obj_crop), metrics
+
+
+_run_jit = functools.partial(jax.jit, static_argnames=("opts", "use_init"))(_run_body)
+
+
+@functools.partial(jax.jit, static_argnames=("opts", "use_init"))
+def _run_jit_channels(amps_b, starts, support_r, obj_init_b, pupil_init_b,
+                      opts: EPRYOptions, use_init: bool):
+    """N independent same-geometry problems as ONE compiled program.
+
+    The RGB color channels (fpmMain.cpp:109-115) are identical-shape
+    independent reconstructions sharing one schedule/geometry, so they batch
+    over a leading axis instead of serializing three dispatches. The XLA
+    path uses ``vmap`` — the per-channel DFT matmuls become batched
+    ``dot_general``s, feeding the MXU three problems' worth of rows at once
+    (small-Np solves underfeed it alone). The fused Pallas kernels keep
+    their single-problem grid semantics, so under ``use_pallas`` channels
+    run via ``lax.map`` (sequential inside one program — still one dispatch
+    and one compile, just no cross-channel batching).
+    """
+
+    def one(amps, obj_init, pupil_init):
+        return _run_body(amps, starts, support_r, obj_init, pupil_init,
+                         opts, use_init)
+
+    if opts.use_pallas:
+        return jax.lax.map(lambda t: one(*t),
+                           (amps_b, obj_init_b, pupil_init_b))
+    return jax.vmap(one)(amps_b, obj_init_b, pupil_init_b)
 
 
 def _make_sweep_fn(amps, starts, support, support_r, opts: EPRYOptions):
@@ -734,3 +764,77 @@ def reconstruct(
             "update_norm": metrics[:, 1],
         },
     )
+
+
+def reconstruct_channels(
+    channel_images,
+    geom: LEDGeometry,
+    cfg: FPMConfig,
+    iterations: int | None = None,
+    dtype: Any | None = None,
+    initial_state: tuple | None = None,
+    **opt_overrides,
+) -> list[ReconResult]:
+    """Reconstruct N independent same-geometry channels in one program.
+
+    The ``--color-mode rgb`` solve path: channels share the LED schedule,
+    crop geometry, and pupil support, so they batch over a leading axis
+    (see :func:`_run_jit_channels`) instead of running three sequential
+    dispatches of the same compiled program.
+
+    Args:
+      channel_images: sequence of N (K, Np, Np) intensity stacks, each
+        ordered by ``geom.led_numbers`` (R, G, B for the RGB path).
+      initial_state: optional ``(obj_f_centered, pupil)`` with a leading
+        N axis — stacked checkpoint state for resume.
+
+    Returns one :class:`ReconResult` per channel, in input order.
+    """
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    opts = EPRYOptions.from_config(
+        cfg, iterations=iterations if iterations is not None else cfg.iterations,
+        dtype=dtype.name, **opt_overrides,
+    )
+    k = len(geom.schedule)
+    eff_chunk = effective_chunk_size(
+        opts.np_size, opts.chunk_size, k, opts.use_pallas, opts.mode
+    )
+    if eff_chunk != opts.chunk_size:
+        opts = dataclasses.replace(opts, chunk_size=eff_chunk)
+    amps_b = jnp.stack(
+        [_sorted_device_inputs(im, geom, dtype)[0] for im in channel_images]
+    )
+    starts = _sorted_device_inputs(channel_images[0], geom, dtype)[1]
+    support_r = jnp.asarray(pupil_support(cfg, centered=False), dtype=opts.rdtype)
+
+    n_ch = len(channel_images)
+    if initial_state is not None:
+        o0 = np.asarray(initial_state[0])
+        p0 = np.asarray(initial_state[1])
+        obj_init = jnp.asarray(
+            np.stack([o0.real, o0.imag], axis=1), dtype=opts.rdtype)
+        pupil_init = jnp.asarray(
+            np.stack([p0.real, p0.imag], axis=1), dtype=opts.rdtype)
+        use_init = True
+    else:
+        n = cfg.n_large
+        obj_init = jnp.zeros((n_ch, 2, n, n), dtype=opts.rdtype)
+        pupil_init = jnp.zeros((n_ch, 2, cfg.np_size, cfg.np_size), dtype=opts.rdtype)
+        use_init = False
+
+    obj_p, pupil_p, obj_crop_p, metrics = _run_jit_channels(
+        amps_b, starts, support_r, obj_init, pupil_init, opts, use_init
+    )
+    metrics = np.asarray(metrics)
+    return [
+        ReconResult(
+            obj_crop=_unplanes_np(np.asarray(obj_crop_p)[i]),
+            obj_f_centered=_unplanes_np(np.asarray(obj_p)[i]),
+            pupil=_unplanes_np(np.asarray(pupil_p)[i]),
+            metrics={
+                "data_residual": metrics[i, :, 0],
+                "update_norm": metrics[i, :, 1],
+            },
+        )
+        for i in range(n_ch)
+    ]

@@ -164,6 +164,36 @@ def stitch_fields(
     return canvas / np.maximum(weight, 1e-12), origins
 
 
+def tile_from_store(tile_store, i: int):
+    """Rebuild a ReconResult from a persisted tile, or None if absent."""
+    if tile_store is None:
+        return None
+    cached = tile_store.get(i)
+    if cached is None:
+        return None
+    crop_p, objf_p, pupil_p, mets = cached
+    return ReconResult(
+        obj_crop=crop_p[0] + 1j * crop_p[1],
+        obj_f_centered=objf_p[0] + 1j * objf_p[1],
+        pupil=pupil_p[0] + 1j * pupil_p[1],
+        metrics={"data_residual": mets[:, 0], "update_norm": mets[:, 1]},
+    )
+
+
+def tile_to_store(tile_store, i: int, res: ReconResult):
+    """Persist a completed tile as (2, ...) real/imag planes."""
+    if tile_store is None:
+        return
+    tile_store.put(
+        i,
+        np.stack([res.obj_crop.real, res.obj_crop.imag]),
+        np.stack([res.obj_f_centered.real, res.obj_f_centered.imag]),
+        np.stack([res.pupil.real, res.pupil.imag]),
+        np.stack([np.asarray(res.metrics["data_residual"]),
+                  np.asarray(res.metrics["update_norm"])], axis=1),
+    )
+
+
 def reconstruct_large_fov(
     full_images: np.ndarray,
     geom: LEDGeometry,
@@ -173,6 +203,7 @@ def reconstruct_large_fov(
     iterations: int | None = None,
     dtype=None,
     progress=None,
+    tile_store=None,
     **opt_overrides,
 ) -> LargeFOVResult:
     """Tile the FOV into an R×C grid of overlapping ROIs and stitch.
@@ -184,6 +215,11 @@ def reconstruct_large_fov(
       grid: (rows, cols) of ROI tiles starting at (cfg.crop_y, cfg.crop_x).
       overlap: camera-pixel overlap between neighboring ROIs
         (default Np // 4).
+      tile_store: optional :class:`fpm_tpu.utils.checkpoint.TileStore` —
+        each completed tile is persisted as it finishes, and previously
+        completed tiles (matching fingerprint) are loaded instead of
+        re-solved. Tiles are independent, so a resumed run's stitch is
+        bitwise-identical to an uninterrupted one.
     """
     np_sz = cfg.np_size
     rif = cfg.res_improvement_factor
@@ -194,13 +230,19 @@ def reconstruct_large_fov(
 
     tiles = []
     for i, (y0, x0) in enumerate(origins_px):
-        roi = full_images[:, y0 : y0 + np_sz, x0 : x0 + np_sz]
-        res = reconstruct(
-            roi, geom, cfg, iterations=iterations, dtype=dtype, **opt_overrides
-        )
+        res = tile_from_store(tile_store, i)
+        if res is None:
+            roi = full_images[:, y0 : y0 + np_sz, x0 : x0 + np_sz]
+            res = reconstruct(
+                roi, geom, cfg, iterations=iterations, dtype=dtype, **opt_overrides
+            )
+            tile_to_store(tile_store, i, res)
+            # progress fires for SOLVED tiles only — resumed runs must not
+            # re-report (or re-beat a watchdog for) cached tiles, and the
+            # metrics log then witnesses which tiles were actually re-solved.
+            if progress is not None:
+                progress(i // cols, i % cols, res)
         tiles.append(res)
-        if progress is not None:
-            progress(i // cols, i % cols, res)
 
     stitched, origins = stitch_fields(
         [t.obj_crop for t in tiles], grid,

@@ -112,15 +112,24 @@ def reconstruct_large_fov_sharded(
     overlap: int | None = None,
     iterations: int | None = None,
     dtype=None,
+    progress=None,
+    tile_store=None,
     **opt_overrides,
 ) -> LargeFOVResult:
     """ROI-sharded large-FOV reconstruction; matches the sequential
     ``models.largefov.reconstruct_large_fov`` result (same tiling, same
     per-ROI solver, same stitch — tests/test_roishard.py asserts it).
 
-    The ROI count is padded to a multiple of the mesh size to keep shapes
-    static; padded slots carry a zero validity flag and take the cheap
-    branch of an XLA conditional instead of a full discarded solve.
+    Tiles run in rounds of ``n_dev`` (one per device per round, all rounds
+    sharing one compiled program). Rounds are the fault-tolerance
+    granularity: with a ``tile_store``
+    (:class:`fpm_tpu.utils.checkpoint.TileStore`) every finished round's
+    tiles are persisted before the next starts, previously completed tiles
+    are loaded instead of re-solved, and a cached/padded slot carries a
+    zero validity flag and takes the cheap branch of an XLA conditional
+    instead of a full discarded solve. A killed production run therefore
+    loses at most one round of chip time (the reference loses everything:
+    results only ever exist in RAM, fpmMain.cpp:495-497).
     """
     if mesh is None:
         mesh = make_roi_mesh()
@@ -139,44 +148,62 @@ def reconstruct_large_fov_sharded(
         **opt_overrides,
     )
 
-    # Per-ROI NA-sorted amplitude stacks; geometry (starts, support) is
-    # shared across ROIs (validity bound: models.largefov.roi_angle_error).
-    amps_list, starts = [], None
-    for y0, x0 in origins_px:
-        roi = full_images[:, y0 : y0 + np_sz, x0 : x0 + np_sz]
-        a, starts = _sorted_device_inputs(roi, geom, dtype)
-        amps_list.append(a)
-    t_real = len(amps_list)
-    pad = (-t_real) % n_dev
-    amps_list += [amps_list[0]] * pad
-    amps_stack = jnp.stack(amps_list)
-    valid = jnp.asarray([1] * t_real + [0] * pad, jnp.int32)
+    from ..models.largefov import tile_from_store, tile_to_store
+
+    rows, cols = grid
+    t_real = len(origins_px)
+    starts = jnp.asarray(geom.crop_start[geom.schedule], dtype=jnp.int32)
     support_r = jnp.asarray(pupil_support(cfg, centered=False), dtype=opts.rdtype)
-
+    rep_sh = NamedSharding(mesh, P())
     roi_sh = NamedSharding(mesh, P("roi"))
-    amps_stack = jax.device_put(amps_stack, roi_sh)
-    valid = jax.device_put(valid, roi_sh)
-    starts, support_r = jax.device_put((starts, support_r), NamedSharding(mesh, P()))
+    starts, support_r = jax.device_put((starts, support_r), rep_sh)
 
-    objf_p, crop_p, pupil_p, metrics = _run_roi_sharded(
-        amps_stack, valid, starts, support_r, opts, mesh
-    )
-    objf_p, crop_p, pupil_p, metrics = (
-        np.asarray(objf_p)[:t_real],
-        np.asarray(crop_p)[:t_real],
-        np.asarray(pupil_p)[:t_real],
-        np.asarray(metrics)[:t_real],
-    )
+    def tile_amps(i):
+        y0, x0 = origins_px[i]
+        roi = full_images[:, y0 : y0 + np_sz, x0 : x0 + np_sz]
+        # Geometry (starts, support) is shared across ROIs (validity
+        # bound: models.largefov.roi_angle_error).
+        return _sorted_device_inputs(roi, geom, dtype)[0]
 
-    tiles = [
-        ReconResult(
-            obj_crop=_unplanes_np(crop_p[i]),
-            obj_f_centered=_unplanes_np(objf_p[i]),
-            pupil=_unplanes_np(pupil_p[i]),
-            metrics={"data_residual": metrics[i, :, 0], "update_norm": metrics[i, :, 1]},
+    tiles = [None] * t_real
+    for lo in range(0, t_real, n_dev):
+        idxs = list(range(lo, min(lo + n_dev, t_real)))
+        todo = []
+        for i in idxs:
+            tiles[i] = tile_from_store(tile_store, i)
+            if tiles[i] is None:
+                todo.append(i)
+        if not todo:
+            continue
+        slot_amps, valid_np = [], []
+        for slot in range(n_dev):
+            i = lo + slot
+            live = i in todo
+            slot_amps.append(tile_amps(i if live else todo[0]))
+            valid_np.append(1 if live else 0)
+        amps_stack = jax.device_put(jnp.stack(slot_amps), roi_sh)
+        valid = jax.device_put(jnp.asarray(valid_np, jnp.int32), roi_sh)
+        objf_p, crop_p, pupil_p, metrics = _run_roi_sharded(
+            amps_stack, valid, starts, support_r, opts, mesh
         )
-        for i in range(t_real)
-    ]
+        objf_p, crop_p, pupil_p, metrics = (
+            np.asarray(objf_p), np.asarray(crop_p),
+            np.asarray(pupil_p), np.asarray(metrics),
+        )
+        for slot in range(len(idxs)):
+            i = lo + slot
+            if i not in todo:
+                continue
+            tiles[i] = ReconResult(
+                obj_crop=_unplanes_np(crop_p[slot]),
+                obj_f_centered=_unplanes_np(objf_p[slot]),
+                pupil=_unplanes_np(pupil_p[slot]),
+                metrics={"data_residual": metrics[slot, :, 0],
+                         "update_norm": metrics[slot, :, 1]},
+            )
+            tile_to_store(tile_store, i, tiles[i])
+            if progress is not None:
+                progress(i // cols, i % cols, tiles[i])
     stitched, origins = stitch_fields(
         [t.obj_crop for t in tiles], grid,
         hr_size=np_sz * rif, hr_stride=stride * rif, overlap_hr=overlap * rif,

@@ -118,3 +118,72 @@ def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> str | None:
         return None
     cands.sort(key=lambda f: int(f[len(prefix) : -4]))
     return os.path.join(directory, cands[-1])
+
+
+class TileStore:
+    """Per-tile result persistence for the large-FOV production mode.
+
+    The ``--fov-grid`` path solves an R×C grid of independent ROI tiles —
+    hours of chip time at production scale — and previously held every
+    result only in RAM until the final stitch (inheriting the reference's
+    results-only-in-RAM failure mode, fpmMain.cpp:495-497). A TileStore
+    writes each completed tile to ``<dir>/tile_<i>.npz`` (atomically, with
+    the run's provenance fingerprint); a ``--resume`` run loads completed
+    tiles instead of re-solving them, and refuses tiles written under a
+    different configuration (same contract as :func:`load_checkpoint`).
+
+    Tiles are independent reconstructions, so a resumed run's stitched
+    result is bitwise-identical to an uninterrupted one
+    (tests/test_faults.py::test_fov_grid_kill_resume_bitwise).
+    """
+
+    def __init__(self, directory: str, meta: dict | None = None,
+                 resume: bool = False, strict: bool = True):
+        self.directory = directory
+        self.meta = meta or {}
+        self.resume = resume
+        self.strict = strict
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, i: int) -> str:
+        return os.path.join(self.directory, f"tile_{i:04d}.npz")
+
+    def get(self, i: int):
+        """Return the stored (obj_crop, obj_f_centered, pupil, metrics)
+        planes for tile ``i``, or None if absent / not resuming."""
+        path = self._path(i)
+        if not self.resume or not os.path.isfile(path):
+            return None
+        with np.load(path) as z:
+            saved = json.loads(bytes(z["fingerprint"]).decode() or "{}")
+            out = (z["obj_crop_p"], z["obj_f_p"], z["pupil_p"], z["metrics"])
+        diffs = {k: (saved.get(k), self.meta[k]) for k in self.meta
+                 if saved.get(k) != self.meta[k]}
+        if diffs:
+            msg = (f"tile checkpoint {path} was written by a different run "
+                   "configuration; resuming would silently diverge. "
+                   "Mismatched keys: "
+                   + ", ".join(f"{k}: saved={s!r} vs now={e!r}"
+                               for k, (s, e) in diffs.items()))
+            if self.strict:
+                raise CheckpointMismatch(msg)
+            print(f"[fpm-tpu] WARNING: {msg}; re-solving tile {i}")
+            return None
+        return out
+
+    def put(self, i: int, obj_crop_p, obj_f_p, pupil_p, metrics):
+        """Atomically persist tile ``i`` ((2,...) real/imag plane arrays)."""
+        path = self._path(i)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                obj_crop_p=np.asarray(obj_crop_p),
+                obj_f_p=np.asarray(obj_f_p),
+                pupil_p=np.asarray(pupil_p),
+                metrics=np.asarray(metrics),
+                fingerprint=np.bytes_(
+                    json.dumps(self.meta, sort_keys=True).encode()
+                ),
+            )
+        os.replace(tmp, path)

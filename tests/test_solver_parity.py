@@ -66,3 +66,28 @@ def test_metrics_monotone_convergence(ds):
     assert resid.shape == (8,)
     # Residual after convergence must be far below the first sweep.
     assert resid[-1] < 0.2 * resid[0]
+
+
+def test_batched_channels_bitwise_match_separate_solves():
+    """reconstruct_channels (the --color-mode rgb solve) runs N independent
+    same-geometry problems as one compiled program; every channel's result
+    must be BITWISE identical to its own single-problem reconstruct() call,
+    on the vmapped XLA path and the lax.map Pallas path alike."""
+    from fpm_tpu.models.epry import reconstruct_channels
+
+    ds = synthetic_dataset(np_size=16, grid=5, quantize=True)
+    chans = [ds.images, ds.images * 0.8 + 1.0, ds.images * 1.2]
+    for kwargs in (
+        dict(),                                           # sequential, vmap
+        dict(mode="batched", chunk_size=8),               # chunked XLA, vmap
+        dict(mode="batched", chunk_size=8, use_pallas=True),  # pallas, lax.map
+    ):
+        sep = [reconstruct(c, ds.geom, ds.cfg, iterations=3,
+                           dtype="complex128", **kwargs) for c in chans]
+        bat = reconstruct_channels(chans, ds.geom, ds.cfg, iterations=3,
+                                   dtype="complex128", **kwargs)
+        for a, b in zip(sep, bat):
+            np.testing.assert_array_equal(a.obj_crop, b.obj_crop)
+            np.testing.assert_array_equal(a.pupil, b.pupil)
+            np.testing.assert_array_equal(
+                a.metrics["data_residual"], b.metrics["data_residual"])
