@@ -126,11 +126,104 @@ def run_workload(name: str, quick: bool):
     return row
 
 
+def run_ingest_benchmark(quick: bool):
+    """Ingest stage: TIFF decode + preprocess throughput, native vs Python.
+
+    The reference spent ~22% of its wall-clock here (cv::imread 11.9% +
+    TIFFReadEncodedStrip 10.4%, BASELINE.md /root/reference/output.svg);
+    the native runtime (fpm_tpu/native/fpm_io.cpp) was built to kill that
+    cost, and since round 5 decodes LZW/Deflate (the common microscope
+    encodings) natively rather than falling back per-file to PIL. Measures
+    frames/s and decoded MB/s for the ROI path on camera-scale frames
+    (1024x1024 uint16 -> Np=90 ROI crop), per compression, plus the
+    full-frame (large-FOV) path.
+    """
+    import shutil
+    import tempfile
+
+    from PIL import Image
+
+    from fpm_tpu import native
+    from fpm_tpu.config import FPMConfig
+    from fpm_tpu.data.loader import load_dataset
+
+    k = 24 if quick else 64
+    frame = 512 if quick else 1024
+    rng = np.random.default_rng(0)
+    # Realistic content: smooth background + speckle, so LZW/Deflate see
+    # compressible but non-trivial data.
+    yy, xx = np.mgrid[0:frame, 0:frame]
+    base = (8000 + 6000 * np.sin(xx / 97.0) * np.cos(yy / 61.0)).astype(np.uint16)
+
+    rows = []
+    root = tempfile.mkdtemp(prefix="fpm_ingest_")
+    try:
+        for comp_name, pil_kw in (("uncompressed", {}),
+                                  ("lzw", {"compression": "tiff_lzw"}),
+                                  ("deflate",
+                                   {"compression": "tiff_adobe_deflate"})):
+            d = os.path.join(root, comp_name)
+            os.makedirs(d)
+            disk_bytes = 0
+            for led in range(1, k + 1):
+                img = base + rng.integers(0, 2000, base.shape).astype(np.uint16)
+                p = os.path.join(d, f"iLED_{led}.tif")
+                Image.fromarray(img).save(p, **pil_kw)
+                disk_bytes += os.path.getsize(p)
+            coords = np.zeros((k, 3))
+            coords[:, 0] = np.linspace(-5, 5, k)
+            coords[:, 2] = 60.0
+            cfg = FPMConfig(
+                dataset_root=d + os.sep, np_size=90, crop_x=400, crop_y=400,
+                bk1_crop_x=10, bk1_crop_y=10, bk2_crop_x=900, bk2_crop_y=900,
+                bg_threshold=500.0, pixel_size=6.5, objective_mag=8.0,
+                objective_na=0.2, max_illumination_na=0.9, wavelength=0.5,
+                led_count=k, hole_coordinates=coords,
+            )
+            raw_mb = k * frame * frame * 2 / 1e6
+            for mode, use_native in (("native", True), ("python", False)):
+                if use_native and not native.available():
+                    continue
+                reps = []
+                for _ in range(2 if quick else 3):
+                    t0 = time.perf_counter()
+                    ds = load_dataset(cfg, use_native=use_native)
+                    reps.append(time.perf_counter() - t0)
+                    assert ds.images.shape == (k, 90, 90)
+                t = min(reps)
+                rows.append({
+                    "workload": "ingest", "compression": comp_name,
+                    "mode": mode, "frames": k, "frame_px": frame,
+                    "disk_mb": round(disk_bytes / 1e6, 1),
+                    "frames_per_s": round(k / t, 1),
+                    "decoded_mb_per_s": round(raw_mb / t, 1),
+                })
+            # full-frame (large-FOV ingest) path, native only
+            if native.available():
+                reps = []
+                for _ in range(2 if quick else 3):
+                    t0 = time.perf_counter()
+                    ds = load_dataset(cfg, use_native=True, full_frames=True)
+                    reps.append(time.perf_counter() - t0)
+                    assert ds.images.shape == (k, frame, frame)
+                t = min(reps)
+                rows.append({
+                    "workload": "ingest", "compression": comp_name,
+                    "mode": "native-fullframe", "frames": k, "frame_px": frame,
+                    "frames_per_s": round(k / t, 1),
+                    "decoded_mb_per_s": round(raw_mb / t, 1),
+                })
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return rows
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("-o", "--output", default=None)
-    ap.add_argument("--workloads", nargs="*", default=list(WORKLOADS))
+    ap.add_argument("--workloads", nargs="*",
+                    default=list(WORKLOADS) + ["ingest"])
     args = ap.parse_args(argv)
 
     from bench import _setup_compilation_cache
@@ -138,6 +231,11 @@ def main(argv=None):
     _setup_compilation_cache()
     rows = []
     for name in args.workloads:
+        if name == "ingest":
+            for row in run_ingest_benchmark(args.quick):
+                print(json.dumps(row))
+                rows.append(row)
+            continue
         row = run_workload(name, args.quick)
         print(json.dumps(row))
         rows.append(row)

@@ -10,9 +10,12 @@
 // the TPU once (the reference instead re-touched host memory per LED inside
 // its hot loop, fpmMain.cpp:380-381).
 //
-// Supported input: classic TIFF (II/MM), uncompressed strips, 8/16-bit,
-// grayscale or chunky RGB (the reference's datasets are 16-bit TIFFs;
-// fpmMain.cpp:119). Exposed via a C ABI consumed with ctypes
+// Supported input: classic TIFF (II/MM), 8/16-bit, grayscale or chunky RGB
+// (the reference's datasets are 16-bit TIFFs; fpmMain.cpp:119), in strip or
+// tile organization, uncompressed / LZW / Deflate (zlib), with horizontal
+// predictor — i.e. the encodings real microscope acquisition software
+// writes. Anything else is flagged per-file and falls back to the Python
+// (PIL) path in the caller. Exposed via a C ABI consumed with ctypes
 // (fpm_tpu/native/__init__.py).
 
 #include <atomic>
@@ -23,6 +26,8 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -72,6 +77,110 @@ uint32_t entry_value(const Reader& r, size_t entry_off, uint32_t index) {
   return 0;
 }
 
+// TIFF LZW decompression (spec §13): MSB-first variable-width codes 9→12
+// bits with the "early change" width bump at next_code == (1<<width)-1,
+// code 256 = clear, 257 = end-of-information.
+bool lzw_decode(const uint8_t* p, size_t n, uint8_t* dst, size_t cap) {
+  static thread_local std::vector<int> prefix(4096);
+  static thread_local std::vector<uint8_t> suffix(4096), stack(4096);
+  int width = 9, next = 258, prev = -1;
+  uint64_t bitbuf = 0;
+  int bits = 0;
+  size_t pos = 0, out = 0;
+
+  auto getcode = [&]() -> int {
+    while (bits < width) {
+      if (pos >= n) return 257;
+      bitbuf = (bitbuf << 8) | p[pos++];
+      bits += 8;
+    }
+    bits -= width;
+    return (int)((bitbuf >> bits) & ((1u << width) - 1));
+  };
+  auto first_of = [&](int code) -> uint8_t {
+    while (code >= 258) code = prefix[code];
+    return (uint8_t)code;
+  };
+  auto emit = [&](int code) -> bool {  // write string(code), return ok
+    int sp = 0;
+    while (code >= 258) {
+      if (sp >= 4096) return false;
+      stack[sp++] = suffix[code];
+      code = prefix[code];
+    }
+    if (out + sp + 1 > cap) return false;
+    dst[out++] = (uint8_t)code;
+    while (sp) dst[out++] = stack[--sp];
+    return true;
+  };
+
+  for (;;) {
+    int code = getcode();
+    if (code == 257) break;
+    if (code == 256) {
+      width = 9;
+      next = 258;
+      prev = -1;
+      continue;
+    }
+    if (prev < 0) {
+      if (code > 255 || out >= cap) return false;
+      dst[out++] = (uint8_t)code;
+    } else {
+      if (code > next || next >= 4096) return false;
+      if (code == next) {  // KwKwK: string(prev) + first(string(prev))
+        prefix[next] = prev;
+        suffix[next] = first_of(prev);
+        next++;
+        if (!emit(code)) return false;
+      } else {
+        if (!emit(code)) return false;
+        prefix[next] = prev;
+        suffix[next] = first_of(code);
+        next++;
+      }
+      if (next == (1 << width) - 1 && width < 12) width++;  // early change
+    }
+    prev = code;
+  }
+  return out == cap;
+}
+
+bool zlib_decode(const uint8_t* p, size_t n, uint8_t* dst, size_t cap) {
+  uLongf out_len = cap;
+  return uncompress(dst, &out_len, p, n) == Z_OK && out_len == cap;
+}
+
+// Horizontal-differencing predictor (TIFF tag 317 == 2): samples are stored
+// as deltas from the previous pixel's same channel; integrate per row.
+// 16-bit samples are differenced as u16 values in FILE byte order.
+void undo_predictor2(uint8_t* data, size_t nrows, size_t width, int spp,
+                     int bits, bool big_endian) {
+  size_t row_bytes = width * spp * (bits / 8);
+  for (size_t r = 0; r < nrows; r++) {
+    uint8_t* row = data + r * row_bytes;
+    if (bits == 8) {
+      for (size_t i = spp; i < width * spp; i++) row[i] = (uint8_t)(row[i] + row[i - spp]);
+    } else {
+      for (size_t i = spp; i < width * spp; i++) {
+        size_t a = 2 * (i - spp), b = 2 * i;
+        uint16_t pv = big_endian ? (uint16_t)((row[a] << 8) | row[a + 1])
+                                 : (uint16_t)(row[a] | (row[a + 1] << 8));
+        uint16_t cv = big_endian ? (uint16_t)((row[b] << 8) | row[b + 1])
+                                 : (uint16_t)(row[b] | (row[b + 1] << 8));
+        uint16_t s = (uint16_t)(cv + pv);
+        if (big_endian) {
+          row[b] = (uint8_t)(s >> 8);
+          row[b + 1] = (uint8_t)s;
+        } else {
+          row[b] = (uint8_t)s;
+          row[b + 1] = (uint8_t)(s >> 8);
+        }
+      }
+    }
+  }
+}
+
 // Decode first IFD of a classic TIFF. channel_rgb: -1 = grayscale/first,
 // -2 = keep ALL channels as planes (RGB decode-once mode), else RGB channel
 // index to keep.
@@ -99,9 +208,11 @@ bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
   size_t ifd = r.u32(4);
   uint16_t n_entries = r.u16(ifd);
   uint32_t width = 0, height = 0, bits = 1, compression = 1, spp = 1;
-  uint32_t rows_per_strip = 0xFFFFFFFF;
+  uint32_t rows_per_strip = 0xFFFFFFFF, predictor = 1;
+  uint32_t tile_w = 0, tile_h = 0;
   size_t strip_offsets_entry = 0, strip_counts_entry = 0;
-  uint32_t n_strips = 0;
+  size_t tile_offsets_entry = 0, tile_counts_entry = 0;
+  uint32_t n_strips = 0, n_tiles = 0;
 
   for (uint16_t i = 0; i < n_entries; i++) {
     size_t e = ifd + 2 + (size_t)i * 12;
@@ -118,14 +229,30 @@ bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
         n_strips = r.u32(e + 4);
         break;
       case 279: strip_counts_entry = e; break;
+      case 317: predictor = entry_value(r, e, 0); break;
+      case 322: tile_w = entry_value(r, e, 0); break;
+      case 323: tile_h = entry_value(r, e, 0); break;
+      case 324:
+        tile_offsets_entry = e;
+        n_tiles = r.u32(e + 4);
+        break;
+      case 325: tile_counts_entry = e; break;
       default: break;
     }
   }
-  if (!width || !height || compression != 1 || !strip_offsets_entry)
+  // Compression 1 = none, 5 = LZW, 8/32946 = Deflate (zlib). Predictor 2 =
+  // horizontal differencing (the only one LZW/Deflate writers use for
+  // integer data). Anything else → per-file Python fallback.
+  const bool tiled = tile_offsets_entry != 0;
+  if (!width || !height || (!strip_offsets_entry && !tiled)) return false;
+  if (compression != 1 && compression != 5 && compression != 8 &&
+      compression != 32946)
     return false;
+  if (predictor != 1 && predictor != 2) return false;
   if (bits != 8 && bits != 16) return false;
   if (spp != 1 && spp != 3) return false;
   if (rows_per_strip == 0) rows_per_strip = height;
+  if (tiled && (!tile_w || !tile_h)) return false;
 
   bool all_channels = (channel_rgb == -2);
   out.w = (int)width;
@@ -135,24 +262,23 @@ bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
 
   int ch0 = (spp == 3) ? ((channel_rgb >= 0 && channel_rgb < 3) ? channel_rgb : 0) : 0;
   size_t bytes_per_px = (bits / 8) * spp;
-  size_t row_bytes = (size_t)width * bytes_per_px;
   size_t plane_px = (size_t)width * height;
+  std::vector<uint8_t> scratch;
 
-  for (uint32_t s = 0; s < n_strips; s++) {
-    size_t off = entry_value(r, strip_offsets_entry, s);
-    size_t cnt = strip_counts_entry ? entry_value(r, strip_counts_entry, s)
-                                    : row_bytes * rows_per_strip;
-    size_t row0 = (size_t)s * rows_per_strip;
-    size_t nrows = cnt / row_bytes;
+  // Copy a decoded block of rows into the output planes, clipping to the
+  // image. src rows are (block_w * bytes_per_px) apart, chunky layout.
+  auto blit = [&](const uint8_t* src, size_t block_w, size_t row0,
+                  size_t col0, size_t nrows, size_t ncols) {
     for (size_t dy = 0; dy < nrows && row0 + dy < height; dy++) {
-      const uint8_t* src = buf.data() + off + dy * row_bytes;
-      if (off + (dy + 1) * row_bytes > (size_t)sz) return false;
+      const uint8_t* srow = src + dy * block_w * bytes_per_px;
       for (int c = 0; c < out.planes; c++) {
         int ch = all_channels ? c : ch0;
-        uint16_t* dst = out.data.data() + (size_t)c * plane_px + (row0 + dy) * width;
-        for (uint32_t x = 0; x < width; x++) {
-          const uint8_t* px =
-              src + (size_t)x * bytes_per_px + (size_t)ch * (bits / 8);
+        uint16_t* dst =
+            out.data.data() + (size_t)c * plane_px + (row0 + dy) * width + col0;
+        size_t nx = ncols;
+        if (col0 + nx > width) nx = width - col0;
+        for (size_t x = 0; x < nx; x++) {
+          const uint8_t* px = srow + x * bytes_per_px + (size_t)ch * (bits / 8);
           if (bits == 8)
             dst[x] = px[0];
           else
@@ -161,6 +287,67 @@ bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
         }
       }
     }
+  };
+
+  // Decode one compressed (or raw) block of `nrows` rows of `block_w`
+  // pixels; returns the pointer to decoded bytes (file buffer for raw,
+  // scratch for compressed) or nullptr.
+  auto decode_block = [&](size_t off, size_t cnt, size_t block_w,
+                          size_t nrows) -> const uint8_t* {
+    size_t want = block_w * bytes_per_px * nrows;
+    if (compression == 1) {
+      if (off + want > (size_t)sz) return nullptr;
+      if (predictor == 2) {
+        scratch.assign(buf.data() + off, buf.data() + off + want);
+        undo_predictor2(scratch.data(), nrows, block_w, (int)spp, (int)bits,
+                        r.big_endian);
+        return scratch.data();
+      }
+      return buf.data() + off;
+    }
+    if (off + cnt > (size_t)sz) return nullptr;
+    scratch.resize(want);
+    bool ok = (compression == 5)
+                  ? lzw_decode(buf.data() + off, cnt, scratch.data(), want)
+                  : zlib_decode(buf.data() + off, cnt, scratch.data(), want);
+    if (!ok) return nullptr;
+    if (predictor == 2)
+      undo_predictor2(scratch.data(), nrows, block_w, (int)spp, (int)bits,
+                      r.big_endian);
+    return scratch.data();
+  };
+
+  if (tiled) {
+    size_t across = (width + tile_w - 1) / tile_w;
+    size_t down = (height + tile_h - 1) / tile_h;
+    if (n_tiles < across * down) return false;
+    for (size_t t = 0; t < across * down; t++) {
+      size_t off = entry_value(r, tile_offsets_entry, (uint32_t)t);
+      size_t cnt = tile_counts_entry
+                       ? entry_value(r, tile_counts_entry, (uint32_t)t)
+                       : (size_t)tile_w * tile_h * bytes_per_px;
+      const uint8_t* src = decode_block(off, cnt, tile_w, tile_h);
+      if (!src) return false;
+      blit(src, tile_w, (t / across) * tile_h, (t % across) * tile_w, tile_h,
+           tile_w);
+    }
+    return true;
+  }
+
+  size_t row_bytes = (size_t)width * bytes_per_px;
+  for (uint32_t s = 0; s < n_strips; s++) {
+    size_t off = entry_value(r, strip_offsets_entry, s);
+    size_t row0 = (size_t)s * rows_per_strip;
+    if (row0 >= height) break;
+    size_t nrows = rows_per_strip;
+    if (row0 + nrows > height) nrows = height - row0;
+    size_t cnt = strip_counts_entry ? entry_value(r, strip_counts_entry, s)
+                                    : row_bytes * nrows;
+    if (compression == 1 && cnt < row_bytes * nrows)
+      nrows = cnt / row_bytes;  // tolerate short raw strips
+    const uint8_t* src = decode_block(off, cnt, width, nrows);
+    if (!src) return false;
+    blit(src, width, row0, 0, nrows, width);
   }
   return true;
 }

@@ -83,18 +83,20 @@ def test_native_flags_missing_file(tmp_path, built):
     assert status.tolist() == [0, 1]
 
 
-def test_compressed_tiff_per_file_fallback(tmp_path, built):
-    """A compressed TIFF in the stack must not fail the native load: the
-    decoder flags it and the loader re-decodes that file via Python
-    (VERDICT r1 item 8)."""
+def test_unsupported_tiff_per_file_fallback(tmp_path, built):
+    """A TIFF with an encoding the native decoder doesn't handle (PackBits
+    here) must not fail the native load: the decoder flags it and the
+    loader re-decodes that file via Python (VERDICT r1 item 8). LZW and
+    Deflate are NOT such cases anymore — they decode natively
+    (test_compressed_tiff_native_decode)."""
     rng = np.random.default_rng(3)
     for led in (1, 2, 4):
         _write_gray16(tmp_path / f"iLED_{led}.tif", rng)
     img = rng.integers(0, 4000, size=(48, 48), dtype=np.uint16)
-    Image.fromarray(img).save(tmp_path / "iLED_3.tif", compression="tiff_lzw")
+    Image.fromarray(img).save(tmp_path / "iLED_3.tif", compression="packbits")
     cfg = _make_cfg(tmp_path)
 
-    # the native decoder really does reject the compressed file
+    # the native decoder really does reject the packbits file
     _, _, status = native.load_and_preprocess(
         [str(tmp_path / f"iLED_{n}.tif") for n in (1, 2, 3, 4)],
         cfg, np.zeros(4, bool), 0,
@@ -106,6 +108,150 @@ def test_compressed_tiff_per_file_fallback(tmp_path, built):
     ds_nat = load_dataset(cfg, use_native=True)
     np.testing.assert_array_equal(ds_nat.images, ds_py.images)
     np.testing.assert_array_equal(ds_nat.bg_values, ds_py.bg_values)
+
+
+def test_compressed_tiff_native_decode(tmp_path, built):
+    """LZW- and Deflate-compressed 16-bit TIFFs (the common microscope
+    outputs — TIFFReadEncodedStrip was 10.4% of the reference's runtime,
+    BASELINE.md) decode NATIVELY, bit-identical to the Python/PIL path,
+    with no per-file fallback."""
+    rng = np.random.default_rng(4)
+    for led, comp in ((1, "tiff_lzw"), (2, "tiff_adobe_deflate"), (3, None)):
+        img = rng.integers(0, 60000, size=(48, 48), dtype=np.uint16)
+        kw = {"compression": comp} if comp else {}
+        Image.fromarray(img).save(tmp_path / f"iLED_{led}.tif", **kw)
+    _write_gray16(tmp_path / "iLED_4.tif", rng)
+    cfg = _make_cfg(tmp_path)
+
+    _, _, status = native.load_and_preprocess(
+        [str(tmp_path / f"iLED_{n}.tif") for n in (1, 2, 3, 4)],
+        cfg, np.zeros(4, bool), 0,
+    )
+    assert status.tolist() == [0, 0, 0, 0]  # no fallback needed
+    ds_py = load_dataset(cfg, use_native=False)
+    ds_nat = load_dataset(cfg, use_native=True)
+    np.testing.assert_array_equal(ds_nat.images, ds_py.images)
+    np.testing.assert_array_equal(ds_nat.bg_values, ds_py.bg_values)
+
+
+def _write_tiff_manual(path, arr, *, tiled=False, tile=(16, 16),
+                       deflate=False, predictor=1, big_endian=False,
+                       rows_per_strip=None):
+    """Minimal classic-TIFF writer for encodings PIL won't produce (tiled
+    layout, predictor 2, big-endian) so the native decoder's full matrix is
+    testable hermetically. 16-bit grayscale only."""
+    import struct
+    import zlib
+
+    assert arr.dtype == np.uint16 and arr.ndim == 2
+    h, w = arr.shape
+    bo = ">" if big_endian else "<"
+    data = arr.astype(f"{bo}u2")
+
+    def encode_block(block):
+        if predictor == 2:
+            block = block.astype(np.int32)
+            block = np.concatenate(
+                [block[:, :1], np.diff(block, axis=1)], axis=1
+            ).astype(np.uint16).astype(f"{bo}u2")
+        raw = block.tobytes()
+        return zlib.compress(raw) if deflate else raw
+
+    blocks, extra = [], []
+    if tiled:
+        th, tw = tile
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                full = np.zeros((th, tw), data.dtype)
+                sub = data[y0:y0 + th, x0:x0 + tw]
+                full[: sub.shape[0], : sub.shape[1]] = sub
+                blocks.append(encode_block(full))
+    else:
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            blocks.append(encode_block(data[y0:y0 + rps]))
+
+    n_blk = len(blocks)
+    compression = 8 if deflate else 1
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 16),
+        (259, 3, 1, compression), (262, 3, 1, 1), (277, 3, 1, 1),
+        (317, 3, 1, predictor),
+    ]
+    if tiled:
+        tags += [(322, 3, 1, tile[1]), (323, 3, 1, tile[0])]
+        off_tag, cnt_tag = 324, 325
+    else:
+        tags += [(278, 3, 1, rows_per_strip or h)]
+        off_tag, cnt_tag = 273, 279
+
+    # layout: header(8) + IFD + [offset arrays] + block data
+    n_tags = len(tags) + 2
+    ifd_size = 2 + n_tags * 12 + 4
+    arrays_off = 8 + ifd_size
+    if n_blk > 1:
+        offsets_pos = arrays_off
+        counts_pos = arrays_off + 4 * n_blk
+        data_off = counts_pos + 4 * n_blk
+    else:
+        offsets_pos = counts_pos = 0
+        data_off = arrays_off
+    offs, pos = [], data_off
+    for b in blocks:
+        offs.append(pos)
+        pos += len(b)
+
+    def tag_bytes(tag, typ, cnt, val):
+        head = struct.pack(f"{bo}HHI", tag, typ, cnt)
+        # SHORT values are LEFT-justified in the 4-byte value field (TIFF
+        # spec §2) — packing them as a LONG only works by luck on LE.
+        if typ == 3 and cnt == 1:
+            return head + struct.pack(f"{bo}H", val) + b"\x00\x00"
+        return head + struct.pack(f"{bo}I", val)
+
+    tags += [(off_tag, 4, n_blk, offs[0] if n_blk == 1 else offsets_pos),
+             (cnt_tag, 4, n_blk,
+              len(blocks[0]) if n_blk == 1 else counts_pos)]
+    tags.sort()
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(f"{bo}HI", 42, 8)
+    out += struct.pack(f"{bo}H", n_tags)
+    for t in tags:
+        out += tag_bytes(*t)
+    out += struct.pack(f"{bo}I", 0)  # next IFD
+    if n_blk > 1:
+        for o in offs:
+            out += struct.pack(f"{bo}I", o)
+        for b in blocks:
+            out += struct.pack(f"{bo}I", len(b))
+    for b in blocks:
+        out += b
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("deflate", [False, True])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_decode_matrix(tmp_path, built, tiled, deflate, predictor,
+                            big_endian):
+    """Native decode of the full encoding matrix: {strip,tile} x
+    {raw,deflate} x {predictor 1,2} x {LE,BE}, 16-bit, non-aligned sizes
+    (partial strips/tiles). Ground truth is the written array itself."""
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 60000, size=(45, 57), dtype=np.uint16)
+    p = tmp_path / "t.tif"
+    _write_tiff_manual(p, arr, tiled=tiled, tile=(16, 16), deflate=deflate,
+                       predictor=predictor, big_endian=big_endian,
+                       rows_per_strip=None if tiled else 10)
+    import dataclasses
+
+    cfg = dataclasses.replace(_make_cfg(tmp_path, n=12), bg_threshold=0)
+    frames, _, status = native.load_frames([str(p)], cfg,
+                                           np.zeros(1, np.uint8), (45, 57))
+    assert status.tolist() == [0]
+    np.testing.assert_array_equal(frames[0], arr)
 
 
 def test_rgb_decode_once_matches_per_channel_loads(tmp_path, built):
