@@ -263,7 +263,7 @@ def project_led(work: dict, sec_per_iter: float, devices=(2, 4, 8),
     return rows
 
 
-def project_tile_strong(work: dict, sec_per_iter: float, devices=(2, 4),
+def project_tile_strong(work: dict, sec_per_iter: float, devices=(2, 4, 8),
                         ici_gbs=45.0, comm_bytes=F32_PLANES_BYTES,
                         pipelined=False) -> list[dict]:
     """Strong scaling over the tile axis: one fixed reconstruction, the
@@ -277,8 +277,13 @@ def project_tile_strong(work: dict, sec_per_iter: float, devices=(2, 4),
 
     rows = []
     for p in devices:
-        if work["n_large"] // p < work["np_size"]:
-            continue  # single-hop halo requires tile height >= Np
+        # Single-hop halo requires tile height >= Np; smaller tiles need
+        # ceil(Np/height) ppermute hops, which the implemented kernel does
+        # not do. The MODEL bytes are hop-count-independent (Np halo rows
+        # in, Np increment rows back, regardless of how many neighbors
+        # they arrive from), so the row is still projectable — it is
+        # marked multihop and footnoted as model-only in SCALING.md.
+        multihop = work["n_large"] // p < work["np_size"]
         m = tile_shard_comm(
             work["n_large"], work["np_size"], k=work["k"],
             n_led=1, n_tile=p, chunk_size=work["chunk"],
@@ -301,6 +306,7 @@ def project_tile_strong(work: dict, sec_per_iter: float, devices=(2, 4),
             "efficiency": round(sec_per_iter / (p * t_p), 4),
             "ici_bandwidth_gbs": ici_gbs,
             "pipelined": pipelined,
+            "multihop": multihop,
         })
     return rows
 
@@ -336,7 +342,8 @@ def _md_table(rows: list[dict]) -> str:
     lines = [hdr]
     for r in rows:
         lines.append(
-            f"| {r['devices']} | {r['n_chunks']} | {r['wire_mb_per_device']} | "
+            f"| {r['devices']}{'†' if r.get('multihop') else ''} | "
+            f"{r['n_chunks']} | {r['wire_mb_per_device']} | "
             f"{r['comm_s'] * 1e3:.3f} | {r['compute_s'] * 1e3:.3f} | "
             f"**{r['efficiency'] * 100:.1f}%** |"
         )
@@ -437,10 +444,16 @@ clears the ≥85% target at every projected device count
 ({lever_summary})
 — on one ICI link direction, zero credit for bidirectional rings. The
 caveat stated plainly: the overlap itself cannot be *measured* on this
-single-chip rig; what is verified is (a) the dependence structure that
-permits it (the stale sweep's psums are issued before the next chunk's
-compute, parallel/led_shard.py), (b) the exact bytes on the wire, and
-(c) the stale trajectory's convergence.
+single-chip rig; what is verified is (a) the issue-before-compute
+placement in the COMPILED SCHEDULE — the chunk-loop body of the compiled
+stale program schedules the consensus all-reduce before the chunk's first
+DFT op, so the all-reduce consumes none of that chunk's compute (the
+dataflow freedom an async backend needs), while the same check fails on
+the non-stale program (`parallel/comm.py consensus_schedule_check`,
+pinned discriminatively in `tests/test_comm.py::
+test_stale_consensus_allreduce_scheduled_before_next_chunk_compute`),
+(b) the exact bytes on the wire, and (c) the stale trajectory's
+convergence.
 
 ### Tile-axis strong scaling — single ROI, fixed spectrum (mono)
 
@@ -456,6 +469,15 @@ the tile sweep too (`parallel/tile_shard.py`; trajectory equals the
 LED-sharded stale trajectory up to reduction order, tests/test_sharding.py):
 
 {_md_table(tile_lever)}
+
+† p=8 splits the 360-row spectrum into 45-row tiles, below the Np=90
+sub-aperture: the halo needs ceil(Np/45)=2 `ppermute` hops, which the
+implemented single-hop kernel does not do (it refuses the mesh). The
+MODEL bytes are hop-count-independent (Np rows in, Np increment rows
+back, whatever neighbor count supplies them), so the row is an honest
+projection of a multi-hop implementation — reported because strong
+scaling past p=Nlarge/Np is exactly where the mode stops paying
+(p=8 levered: {tile_lever[2]['efficiency'] * 100:.0f}%).
 
 ### Reading
 
@@ -511,8 +533,8 @@ def main(argv=None):
     # the headline kernel actually runs.
     led_lever = project_led(MONO, sec,
                             comm_bytes=BF16_PLANES_BYTES, pipelined=True)
-    tile_rows = project_tile_strong(MONO, sec, devices=(2, 4))
-    tile_lever = project_tile_strong(MONO, sec, devices=(2, 4),
+    tile_rows = project_tile_strong(MONO, sec)
+    tile_lever = project_tile_strong(MONO, sec,
                                      comm_bytes=BF16_PLANES_BYTES,
                                      pipelined=True)
     for r in roi_rows + led32 + led96 + led_lever + tile_rows + tile_lever:

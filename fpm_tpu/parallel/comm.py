@@ -241,3 +241,81 @@ def hlo_collective_inventory(hlo_text: str) -> list[dict]:
         # (e.g. '/shard_map/'), which sits past any reasonable truncation
         out.append({"op": m.group("op"), "bytes": nbytes, "line": line.strip()})
     return out
+
+
+def consensus_schedule_check(compiled_hlo: str) -> dict:
+    """Schedule-level evidence for the stale-consensus overlap claim.
+
+    SCALING.md's pipelined weak-scaling model assumes chunk c's consensus
+    all-reduce is ISSUED before chunk c+1's DFT compute, so an async
+    backend overlaps them. This inspects the compiled (post-optimization,
+    scheduled) module's chunk-loop body — the computation containing both
+    the consensus all-reduce and the chunk DFT ops — and reports their
+    scheduled positions. In a scheduled HLO body, definitions precede
+    uses, so ``consensus before first DFT`` also proves the all-reduce
+    consumes no part of that body's chunk compute (the dataflow freedom
+    async collectives need); in the non-stale program the same check fails
+    because the all-reduce takes this chunk's increments as operands.
+
+    Returns ``{"body": <computation header>, "consensus_idx": i,
+    "first_dft_idx": j, "issued_before_compute": i < j}``. Raises
+    ValueError if no chunk-loop body is found (e.g. a single-chunk
+    program, which has no loop).
+    """
+    cur_header, cur_lines = None, []
+    best = None
+    for raw in compiled_hlo.splitlines() + ["}"]:
+        if raw.rstrip().endswith("{") and not raw.startswith(" "):
+            cur_header, cur_lines = raw.strip(), []
+            continue
+        if raw.startswith("}"):
+            if cur_header and cur_lines:
+                found = _scan_body_for_consensus(cur_header, cur_lines)
+                if found and (best is None
+                              or found["consensus_bytes"] > best["consensus_bytes"]):
+                    best = found
+            cur_header = None
+            continue
+        if cur_header is not None:
+            cur_lines.append(raw)
+    if best is None:
+        raise ValueError(
+            "no computation with both a consensus all-reduce and DFT ops "
+            "found — is this a compiled multi-chunk sharded sweep?"
+        )
+    return best
+
+
+_DFT_RE = re.compile(r"= \S+ (fft\(|dot\()|fft_type=")
+
+
+def _scan_body_for_consensus(header: str, lines: list[str]) -> dict | None:
+    consensus_idx, consensus_bytes = None, 0
+    first_dft_idx = None
+    for i, line in enumerate(lines):
+        if "=" not in line:
+            continue
+        if first_dft_idx is None and _DFT_RE.search(line):
+            first_dft_idx = i
+        rhs = line.split("=", 1)[1]
+        m = _HLO_DEF_RE.match(rhs)
+        if m and m.group("op") == "all-reduce":
+            nbytes = 0
+            for dt, dims in _SHAPE_RE.findall(m.group("shapes")):
+                if dt in _DTYPE_BYTES:
+                    n = 1
+                    for d in dims.split(","):
+                        if d:
+                            n *= int(d)
+                    nbytes += n * _DTYPE_BYTES[dt]
+            if nbytes > consensus_bytes:
+                consensus_idx, consensus_bytes = i, nbytes
+    if consensus_idx is None or first_dft_idx is None:
+        return None
+    return {
+        "body": header[:120],
+        "consensus_idx": consensus_idx,
+        "first_dft_idx": first_dft_idx,
+        "consensus_bytes": consensus_bytes,
+        "issued_before_compute": consensus_idx < first_dft_idx,
+    }
