@@ -230,11 +230,17 @@ def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius, n_slots,
     if not fft_stage_from_ablation:
         return out
     try:
-        with open(os.path.join(_REPO, "benchmarks", "ablate_r4_chunked.json")) as f:
+        path = os.path.join(_REPO, "benchmarks", "ablate_r4_chunked.json")
+        with open(path) as f:
             rows = {r["ablate"]: r["ns_per_slot"] for r in json.load(f)}
         dft_stage_ns = rows["(full)"] - rows["no-dft"]
-        ideal_dft_ns = 3 * executed_per_led / 197e12 * 1e9
-        out["fft_stage_mxu_efficiency"] = round(ideal_dft_ns / dft_stage_ns, 3)
+        if dft_stage_ns > 0:  # a degenerate artifact must not emit nonsense
+            ideal_dft_ns = 3 * executed_per_led / 197e12 * 1e9
+            out["fft_stage_mxu_efficiency"] = round(ideal_dft_ns / dft_stage_ns, 3)
+            # The metric is computed from the committed ablation artifact,
+            # not this run — surface its age so staleness is visible.
+            out["fft_stage_ablation_mtime"] = time.strftime(
+                "%Y-%m-%d", time.gmtime(os.path.getmtime(path)))
     except (OSError, KeyError, ValueError):
         pass
     return out
@@ -297,14 +303,20 @@ def main():
     if not on_tpu:
         return
     secondary = {"headline": headline}
-    for name, kwargs in (
+    modes = [
         ("sequential_pallas", dict(use_pallas=True, collect_metrics=False,
                                    lo=5, hi=30)),
         ("xla_sequential", dict(lo=5, hi=30)),
         (f"batched_chunk{chunk}_xla", dict(mode="batched", chunk_size=chunk,
                                            lo=5, hi=30)),
-    ):
-        if time.time() - _T0 > TIME_BUDGET_S:
+    ]
+    # Rotate which secondary runs FIRST (by day), and always run that one
+    # even if the headline ate the budget — so every driver-captured bench
+    # artifact independently witnesses at least one mode comparison
+    # (VERDICT r4 weak #6) and the full set cycles across rounds.
+    rot = int(time.strftime("%j")) % len(modes)
+    for i, (name, kwargs) in enumerate(modes[rot:] + modes[:rot]):
+        if i > 0 and time.time() - _T0 > TIME_BUDGET_S:
             _log(f"bench: budget spent, skipping {name}")
             continue
         try:

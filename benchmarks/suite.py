@@ -218,12 +218,81 @@ def run_ingest_benchmark(quick: bool):
     return rows
 
 
+def run_rgb_benchmark(quick: bool):
+    """RGB channel batching: one 3-channel compiled program vs 3 dispatches.
+
+    The --color-mode rgb solve runs the three channels as ONE vmapped
+    program (models/epry.py _run_jit_channels) instead of three sequential
+    dispatches of the same compiled solve. Measures both at the mono
+    workload (XLA batched-chunk32 path — the one vmap batches onto the
+    MXU) with the same differential device-timing methodology as bench.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return []
+    from bench import bench_tpu
+
+    from fpm_tpu.geometry import pupil_support
+    from fpm_tpu.models.epry import (
+        EPRYOptions,
+        _run_jit_channels,
+        _sorted_device_inputs,
+    )
+
+    cfg, geom, images = make_problem("mono")
+    k = int(geom.num_leds)
+    reps, lo, hi = (3, 5, 25) if quick else (4, 5, 45)
+
+    amps, starts = _sorted_device_inputs(images, geom, jnp.complex64)
+    amps_b = jnp.stack([amps, amps * 0.9, amps * 1.1])
+    support_r = jnp.asarray(pupil_support(cfg, centered=False), jnp.float32)
+    obj0 = jnp.zeros((3, 2, cfg.n_large, cfg.n_large), jnp.float32)
+    pup0 = jnp.zeros((3, 2, cfg.np_size, cfg.np_size), jnp.float32)
+
+    def wait(res):
+        return float(jnp.sum(res[1]))
+
+    def timed(iters):
+        opts = EPRYOptions.from_config(
+            cfg, iterations=iters, dtype="complex64", mode="batched",
+            chunk_size=32, collect_metrics=False,
+        )
+        wait(_run_jit_channels(amps_b, starts, support_r, obj0, pup0, opts, False))
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            wait(_run_jit_channels(amps_b, starts, support_r, obj0, pup0,
+                                   opts, False))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    t_lo, t_hi = timed(lo), timed(hi)
+    if t_hi <= t_lo:  # tunnel stall guard (bench.py methodology)
+        t_lo, t_hi = timed(lo), timed(hi)
+    sec3 = max(t_hi - t_lo, 1e-9) / (hi - lo)
+    _fps1, sec1 = bench_tpu(cfg, geom, images, reps=reps, lo=lo, hi=hi,
+                            mode="batched", chunk_size=32,
+                            collect_metrics=False)
+    return [{
+        "workload": "rgb3-batched", "np_size": cfg.np_size,
+        "n_large": cfg.n_large, "num_leds": k,
+        "channels": 3, "mode": "batched-chunk32-xla(vmap)",
+        "seconds_per_iter_3ch_batched": round(sec3, 6),
+        "seconds_per_iter_1ch_x3": round(3 * sec1, 6),
+        "batched_speedup_vs_3_dispatches": round(3 * sec1 / sec3, 2),
+        "led_frames_per_s_3ch": round(3 * k / sec3, 1),
+    }]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("-o", "--output", default=None)
     ap.add_argument("--workloads", nargs="*",
-                    default=list(WORKLOADS) + ["ingest"])
+                    default=list(WORKLOADS) + ["ingest", "rgb3"])
     args = ap.parse_args(argv)
 
     from bench import _setup_compilation_cache
@@ -231,8 +300,9 @@ def main(argv=None):
     _setup_compilation_cache()
     rows = []
     for name in args.workloads:
-        if name == "ingest":
-            for row in run_ingest_benchmark(args.quick):
+        if name in ("ingest", "rgb3"):
+            fn = run_ingest_benchmark if name == "ingest" else run_rgb_benchmark
+            for row in fn(args.quick):
                 print(json.dumps(row))
                 rows.append(row)
             continue

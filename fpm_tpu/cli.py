@@ -148,7 +148,11 @@ def main(argv=None) -> int:
         # Clean one-line errors (the reference printed "ERROR: Could not
         # Open Directory." and friends, fpmMain.cpp:266-270). OSError also
         # covers FileNotFoundError and PIL's UnidentifiedImageError (a
-        # corrupt frame in the stack must not dump a traceback).
+        # corrupt frame in the stack must not dump a traceback). Under
+        # --debug the full traceback is kept: a disk-full or permission
+        # failure mid-run needs its context to be diagnosable.
+        if getattr(args, "debug", False):
+            raise
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
     return 2

