@@ -173,9 +173,13 @@ def run_ingest_benchmark(quick: bool):
             coords = np.zeros((k, 3))
             coords[:, 0] = np.linspace(-5, 5, k)
             coords[:, 2] = 60.0
+            # Background windows scale with the frame so both loaders see
+            # in-bounds windows in --quick (frame=512) too.
+            bk2 = frame - 90 - 10
             cfg = FPMConfig(
-                dataset_root=d + os.sep, np_size=90, crop_x=400, crop_y=400,
-                bk1_crop_x=10, bk1_crop_y=10, bk2_crop_x=900, bk2_crop_y=900,
+                dataset_root=d + os.sep, np_size=90,
+                crop_x=frame // 2 - 45, crop_y=frame // 2 - 45,
+                bk1_crop_x=10, bk1_crop_y=10, bk2_crop_x=bk2, bk2_crop_y=bk2,
                 bg_threshold=500.0, pixel_size=6.5, objective_mag=8.0,
                 objective_na=0.2, max_illumination_na=0.9, wavelength=0.5,
                 led_count=k, hole_coordinates=coords,

@@ -14,6 +14,11 @@ structural map). Public entry points:
 
 from .config import FPMConfig, load_config, default_dome_coordinates  # noqa: F401
 from .geometry import LEDGeometry, compute_geometry, pupil_support  # noqa: F401
-from .models import EPRYOptions, ReconResult, reconstruct  # noqa: F401
+from .models import (  # noqa: F401
+    EPRYOptions,
+    ReconResult,
+    reconstruct,
+    reconstruct_channels,
+)
 
 __version__ = "0.1.0"

@@ -360,6 +360,12 @@ def _cmd_run(args) -> int:
             print(f"[fpm-tpu] resuming from {ck} (iteration {start_iter})")
 
     total = cfg.iterations
+    if start_iter >= total:
+        raise ValueError(
+            f"checkpoint is already at iteration {start_iter} >= the "
+            f"requested total {total}; nothing to resume (raise -n to "
+            "extend the run)"
+        )
     chunk = args.checkpoint_every if args.checkpoint_every > 0 else total
     if cfg.debug:
         # Reference 'debug' mode shows intermediate spectra during the solve
@@ -509,7 +515,11 @@ def _cmd_run(args) -> int:
                 save_complex_img(np.fft.fftshift(result.pupil), SHOW_COMPLEX_MAG,
                                  base + "_pupil")
             if (args.checkpoint_every > 0 and done < total
-                    and done % args.checkpoint_every == 0):
+                    and (done - start_iter) % args.checkpoint_every == 0):
+                # Offset by start_iter: a resume from a checkpoint that is
+                # not aligned to the current interval (the interval is
+                # deliberately NOT in the fingerprint) must keep
+                # checkpointing every K sweeps, not never again.
                 save_checkpoint(
                     os.path.join(args.output, f"ckpt_{done}.npz"),
                     result.obj_f_centered, result.pupil, done,
@@ -558,8 +568,12 @@ def _run_large_fov(args, cfg, logger) -> int:
     # out/tiles/; --resume loads completed tiles (fingerprint-checked)
     # instead of re-solving them. Tile granularity — the per-sweep
     # interval doesn't apply to independent per-tile solves.
+    # Unlike sweep checkpoints (which may be extended by resuming), a
+    # persisted tile is a COMPLETE solve — its content depends on the total
+    # iteration count, so iterations is part of the tile fingerprint.
     run_fp = fingerprint(
         cfg, dataset.geom, fov_grid=f"{rows}x{cols}",
+        iterations=int(cfg.iterations),
         fov_overlap=args.fov_overlap, mode=args.mode,
         chunk_size=eff_chunk, chunk_assign=args.chunk_assign,
         global_max=args.global_max, use_pallas=bool(args.use_pallas),
@@ -686,6 +700,12 @@ def _run_rgb(args, cfg, logger) -> int:
             print(f"[fpm-tpu] resuming from {ck} (iteration {start_iter})")
 
     total = cfg.iterations
+    if start_iter >= total:
+        raise ValueError(
+            f"checkpoint is already at iteration {start_iter} >= the "
+            f"requested total {total}; nothing to resume (raise -n to "
+            "extend the run)"
+        )
     chunk = args.checkpoint_every if args.checkpoint_every > 0 else total
     watchdog = None
     if args.watchdog_timeout > 0:
@@ -715,7 +735,7 @@ def _run_rgb(args, cfg, logger) -> int:
                 for name, r in zip(("red", "green", "blue"), results)
             })
             if (args.checkpoint_every > 0 and done < total
-                    and done % args.checkpoint_every == 0):
+                    and (done - start_iter) % args.checkpoint_every == 0):
                 save_checkpoint(
                     os.path.join(args.output, f"ckpt_{done}.npz"),
                     initial_state[0], initial_state[1], done, meta=run_fp,

@@ -11,6 +11,7 @@ from .epry import (  # noqa: F401
     init_state,
     led_step,
     reconstruct,
+    reconstruct_channels,
     sweep_batched,
     sweep_sequential,
 )

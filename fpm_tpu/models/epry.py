@@ -804,7 +804,7 @@ def reconstruct_channels(
     amps_b = jnp.stack(
         [_sorted_device_inputs(im, geom, dtype)[0] for im in channel_images]
     )
-    starts = _sorted_device_inputs(channel_images[0], geom, dtype)[1]
+    starts = jnp.asarray(geom.crop_start[geom.schedule], dtype=jnp.int32)
     support_r = jnp.asarray(pupil_support(cfg, centered=False), dtype=opts.rdtype)
 
     n_ch = len(channel_images)

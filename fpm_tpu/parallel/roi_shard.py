@@ -175,11 +175,12 @@ def reconstruct_large_fov_sharded(
                 todo.append(i)
         if not todo:
             continue
+        filler = tile_amps(todo[0])  # computed once for every dead slot
         slot_amps, valid_np = [], []
         for slot in range(n_dev):
             i = lo + slot
             live = i in todo
-            slot_amps.append(tile_amps(i if live else todo[0]))
+            slot_amps.append(tile_amps(i) if live else filler)
             valid_np.append(1 if live else 0)
         amps_stack = jax.device_put(jnp.stack(slot_amps), roi_sh)
         valid = jax.device_put(jnp.asarray(valid_np, jnp.int32), roi_sh)

@@ -528,3 +528,64 @@ def test_mesh_chunk_provenance_matches_execution(tmp_path):
                  "--mesh", "2", "1", "--use-pallas", "--chunk-size", "500"]
                 + base) == 0
     assert solver_options(out_e)["chunk_size"] == 416
+
+
+def test_resume_past_total_is_a_clean_error(tmp_path, capsys):
+    """Resuming with -n at or below the checkpoint's iteration must exit 1
+    with a one-line error, not crash on a None result (single-ROI and RGB
+    paths alike)."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    base = ["--dtype", "complex128", "--no-native"]
+
+    out = str(tmp_path / "single")
+    assert main(["run", cfg_path, "-n", "4", "-o", out,
+                 "--checkpoint-every", "2"] + base) == 0
+    assert main(["run", cfg_path, "-n", "2", "-o", out, "--resume",
+                 "--checkpoint-every", "2"] + base) == 1
+    assert "nothing to resume" in capsys.readouterr().err
+
+    out_rgb = str(tmp_path / "rgb")
+    assert main(["run", cfg_path, "-n", "4", "-o", out_rgb,
+                 "--color-mode", "rgb", "--checkpoint-every", "2"] + base) == 0
+    assert main(["run", cfg_path, "-n", "2", "-o", out_rgb, "--resume",
+                 "--color-mode", "rgb", "--checkpoint-every", "2"] + base) == 1
+    assert "nothing to resume" in capsys.readouterr().err
+
+
+def test_checkpointing_continues_after_misaligned_resume(tmp_path):
+    """A resume from a checkpoint not aligned to the (re-chosen) interval
+    must keep checkpointing every K sweeps — the old `done % K` condition
+    never fired again (review finding, round 5)."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    base = ["--dtype", "complex128", "--no-native"]
+    out = str(tmp_path / "out")
+    assert main(["run", cfg_path, "-n", "5", "-o", out,
+                 "--checkpoint-every", "3"] + base) == 0
+    assert os.path.exists(os.path.join(out, "ckpt_3.npz"))
+    assert main(["run", cfg_path, "-n", "9", "-o", out, "--resume",
+                 "--checkpoint-every", "2"] + base) == 0
+    # resumed at 3; checkpoints at 5 and 7 (3+2k), none at even iterations
+    assert os.path.exists(os.path.join(out, "ckpt_5.npz"))
+    assert os.path.exists(os.path.join(out, "ckpt_7.npz"))
+
+
+def test_fov_tiles_refuse_resume_under_different_iterations(tmp_path, capsys):
+    """A persisted tile is a complete solve: resuming a --fov-grid run with
+    a different -n must refuse the stale tiles (fingerprint pins the
+    iteration count), and succeed under the original -n."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5",
+          "--frame-size", "48"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    base = ["--dtype", "complex128", "--no-native", "--fov-grid", "2", "2",
+            "--checkpoint-every", "1"]
+    out = str(tmp_path / "out")
+    assert main(["run", cfg_path, "-n", "2", "-o", out] + base) == 0
+    assert os.path.exists(os.path.join(out, "tiles", "tile_0000.npz"))
+    assert main(["run", cfg_path, "-n", "4", "-o", out, "--resume"] + base) == 1
+    assert "different run configuration" in capsys.readouterr().err
+    assert main(["run", cfg_path, "-n", "2", "-o", out, "--resume"] + base) == 0
