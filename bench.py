@@ -230,7 +230,7 @@ def _flop_accounting(cfg, geom, sec_per_iter, pupil_radius, n_slots,
     if not fft_stage_from_ablation:
         return out
     try:
-        path = os.path.join(_REPO, "benchmarks", "ablate_r4_chunked.json")
+        path = os.path.join(_REPO, "benchmarks", "ablate_r5_chunked.json")
         with open(path) as f:
             rows = {r["ablate"]: r["ns_per_slot"] for r in json.load(f)}
         dft_stage_ns = rows["(full)"] - rows["no-dft"]
