@@ -277,12 +277,12 @@ def project_tile_strong(work: dict, sec_per_iter: float, devices=(2, 4, 8),
 
     rows = []
     for p in devices:
-        # Single-hop halo requires tile height >= Np; smaller tiles need
-        # ceil(Np/height) ppermute hops, which the implemented kernel does
-        # not do. The MODEL bytes are hop-count-independent (Np halo rows
-        # in, Np increment rows back, regardless of how many neighbors
-        # they arrive from), so the row is still projectable — it is
-        # marked multihop and footnoted as model-only in SCALING.md.
+        # Tiles smaller than a patch use the multi-hop halo
+        # (ceil(Np/height) ppermute hops per direction, implemented round
+        # 5 in parallel/tile_shard.py). The wire BYTES are
+        # hop-count-independent (Np halo rows in, Np increment rows back,
+        # whatever neighbor count supplies them), so the single model row
+        # covers both; multihop rows are footnoted in SCALING.md.
         multihop = work["n_large"] // p < work["np_size"]
         m = tile_shard_comm(
             work["n_large"], work["np_size"], k=work["k"],
@@ -471,13 +471,13 @@ LED-sharded stale trajectory up to reduction order, tests/test_sharding.py):
 {_md_table(tile_lever)}
 
 † p=8 splits the 360-row spectrum into 45-row tiles, below the Np=90
-sub-aperture: the halo needs ceil(Np/45)=2 `ppermute` hops, which the
-implemented single-hop kernel does not do (it refuses the mesh). The
-MODEL bytes are hop-count-independent (Np rows in, Np increment rows
-back, whatever neighbor count supplies them), so the row is an honest
-projection of a multi-hop implementation — reported because strong
-scaling past p=Nlarge/Np is exactly where the mode stops paying
-(p=8 levered: {tile_lever[2]['efficiency'] * 100:.0f}%).
+sub-aperture: the halo takes ceil(Np/45)=2 `ppermute` hops per direction
+(multi-hop halo, implemented in `parallel/tile_shard.py` and pinned
+against the single-device trajectory in `tests/test_sharding.py::
+test_tile_sharded_multihop_halo_matches_single_device`). Wire bytes are
+hop-count-independent, so the same model covers it; the row is reported
+because strong scaling past p=Nlarge/Np is exactly where the mode stops
+paying (p=8 levered: {tile_lever[2]['efficiency'] * 100:.0f}%).
 
 ### Reading
 

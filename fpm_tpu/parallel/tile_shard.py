@@ -5,11 +5,12 @@ The reference holds one monolithic ``Nlarge×Mlarge`` spectrum in RAM
 memory bottleneck, so here it is row-sharded over the ``tile`` mesh axis with
 ``shard_map``; each sweep:
 
-1. **Halo exchange** — every tile ``ppermute``-receives the first ``Np`` rows
-   of its next neighbor, forming an extended ``(S+Np, Nlarge)`` block so any
-   LED sub-aperture whose rows straddle the tile boundary can be cropped
-   locally (tile height ``S`` must be ≥ ``Np`` → patches span at most two
-   tiles, single-hop halos over ICI).
+1. **Halo exchange** — every tile ``ppermute``-receives the ``Np`` rows
+   following its block, forming an extended ``(S+Np, Nlarge)`` block so any
+   LED sub-aperture whose rows straddle tile boundaries can be cropped
+   locally. One hop when the tile height ``S`` ≥ ``Np``; ``ceil(Np/S)``
+   hops when the spectrum is split finer than a patch (round 5 — lifts the
+   old ``S ≥ Np`` limit; total halo bytes are hop-count-independent).
 2. **Owner-computes** — LEDs are partitioned host-side by the tile that owns
    their patch's first row (the geometry is static data, fpmMain.cpp:156-168),
    and further split across the ``led`` axis; per-device worksets are padded
@@ -78,10 +79,13 @@ def partition_leds_by_tile(
     s = n_large // n_tile
     if s * n_tile != n_large:
         raise ValueError(f"tile count {n_tile} must divide Nlarge={n_large}")
-    if s < np_size:
+    if n_tile > 1 and np_size > n_large - s:
+        # The Np-row halo must come entirely from OTHER tiles; past this
+        # point a tile would wrap around to its own rows. (n_tile=1 is the
+        # degenerate no-sharding case: the halo is never read.)
         raise ValueError(
-            f"tile height {s} < patch size {np_size}: single-hop halo "
-            "exchange requires Nlarge/n_tile >= Np"
+            f"patch size {np_size} > Nlarge - tile height = {n_large - s}: "
+            f"the halo would wrap around the {n_tile}-tile ring"
         )
     order = geom.schedule  # positions into geometry arrays
     k = len(order)
@@ -127,10 +131,17 @@ def _tile_chunk_increments(obj_f_local, pupil, support, amps, starts_rel,
     """
     np_sz = opts.np_size
 
-    # --- forward halo: receive next tile's first Np rows (single hop on ICI)
-    fwd = [((i + 1) % n_tile, i) for i in range(n_tile)]
-    halo = jax.lax.ppermute(obj_f_local[:np_sz], "tile", perm=fwd)
-    ext = jnp.concatenate([obj_f_local, halo], axis=0)  # (S+Np, Nlarge)
+    # --- forward halo: receive the Np rows following this tile's block.
+    # With tile height s >= Np that is one hop (the next tile's first Np
+    # rows); with s < Np the halo spans ceil(Np/s) following tiles — hop j
+    # ppermutes tile i+j's block (full s rows, partial for the last hop).
+    # Total wire bytes are hop-count-independent: Np rows in either case.
+    parts = [obj_f_local]
+    for j, lo in enumerate(range(0, np_sz, s), start=1):
+        rows = min(s, np_sz - lo)
+        fwd = [((i + j) % n_tile, i) for i in range(n_tile)]
+        parts.append(jax.lax.ppermute(obj_f_local[:rows], "tile", perm=fwd))
+    ext = jnp.concatenate(parts, axis=0)  # (S+Np, Nlarge)
 
     if opts.use_pallas:
         import jax as _jax
@@ -204,17 +215,25 @@ def _tile_consensus_apply(obj_f_local, pupil, d_ext, v, mets, *, opts, s,
     if planes:
         d_ext = (d_ext[0] + 1j * d_ext[1]).astype(obj_f_local.dtype)
 
-    bwd = [(i, (i + 1) % n_tile) for i in range(n_tile)]
-    if bf16_comm:
-        back = jax.lax.ppermute(
-            jnp.stack([jnp.real(d_ext[s:]), jnp.imag(d_ext[s:])]
-                      ).astype(jnp.bfloat16),
-            "tile", perm=bwd,
-        ).astype(jnp.float32)
-        halo_back = (back[0] + 1j * back[1]).astype(obj_f_local.dtype)
-    else:
-        halo_back = jax.lax.ppermute(d_ext[s:], "tile", perm=bwd)
-    d_local = d_ext[:s].at[:np_sz].add(halo_back)
+    # Reverse halo: increment rows beyond this tile's block belong to the
+    # following tiles — hop j returns halo slab [(j-1)s, js) to tile i+j,
+    # where it lands at that tile's first rows (mirror of the forward
+    # halo's multi-hop structure; one hop when s >= Np).
+    d_local = d_ext[:s]
+    for j, lo in enumerate(range(0, np_sz, s), start=1):
+        rows = min(s, np_sz - lo)
+        slab = d_ext[s + lo : s + lo + rows]
+        bwd = [(i, (i + j) % n_tile) for i in range(n_tile)]
+        if bf16_comm:
+            back = jax.lax.ppermute(
+                jnp.stack([jnp.real(slab), jnp.imag(slab)]
+                          ).astype(jnp.bfloat16),
+                "tile", perm=bwd,
+            ).astype(jnp.float32)
+            halo_back = (back[0] + 1j * back[1]).astype(obj_f_local.dtype)
+        else:
+            halo_back = jax.lax.ppermute(slab, "tile", perm=bwd)
+        d_local = d_local.at[:rows].add(halo_back)
     obj_f_local = obj_f_local + d_local
 
     omax = jax.lax.pmax(jnp.max(jnp.abs(obj_f_local)), "tile")

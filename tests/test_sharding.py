@@ -144,11 +144,36 @@ def test_sharded_converges_to_truth(ds):
     assert rmse < 0.08
 
 
-def test_tile_shard_rejects_small_tiles(ds):
+def test_tile_shard_rejects_wraparound_halo(ds):
     from fpm_tpu.parallel.tile_shard import partition_leds_by_tile
 
-    with pytest.raises(ValueError, match="halo"):
-        partition_leds_by_tile(ds.geom, 48, 6, 1, 16)  # tile height 8 < Np 16
+    # Since round 5 small tiles are legal (multi-hop halo); the remaining
+    # structural limit is the halo wrapping the ring back onto its owner.
+    with pytest.raises(ValueError, match="wrap"):
+        partition_leds_by_tile(ds.geom, 48, 3, 1, 40)  # Np 40 > 48-16
+
+
+def test_tile_sharded_multihop_halo_matches_single_device(ds):
+    """Tile height BELOW the patch size (the round-4 structural limit,
+    SCALING.md p=8 footnote): Nlarge=48 over 6 tiles -> 8-row tiles vs
+    Np=16, a 2-hop halo. The trajectory must still equal the single-device
+    chunked sweep."""
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=4,
+                      dtype="complex128", mode="batched", chunk_size=8)
+    mesh = make_mesh(led=1, tile=6, devices=jax.devices()[:6])
+    got = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                   iterations=4, dtype="complex128",
+                                   chunk_size=8)
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-10
+    assert _rel(got.pupil, ref.pupil) < 1e-10
+    # 3-hop (8 tiles x 6-row tiles) with a combined led axis... exceeds the
+    # 8-device test mesh; 2 tiles x 8 rows below Np with led=2 covers the
+    # combined-axes multihop case.
+    mesh2 = make_mesh(led=2, tile=4)
+    got2 = reconstruct_tile_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh2,
+                                    iterations=4, dtype="complex128",
+                                    chunk_size=8)
+    assert _rel(got2.obj_f_centered, ref.obj_f_centered) < 1e-10
 
 
 def test_stale_consensus_mesh_invariant(ds):
