@@ -266,3 +266,45 @@ def test_circle_rasterization_is_analytic_disk(ref_binaries, tmp_path):
         assert np.array_equal(cv_mask, disk), f"radius {r} differs"
     # diff-count check up to r=45 (computed against the disk inside the probe)
     assert out["circle_vs_disk_diffs"] == [0] * 45
+
+
+def test_rotation_and_flip_quirk_match_reference_binary(ref_binaries,
+                                                        ref_dataset, tmp_path):
+    """Geometry transforms proven against the binary: arrayRotation and the
+    flip-overwrite quirk (fpmMain.cpp:88-93 — flipDatasetY OVERWRITES
+    flipDatasetX rather than composing). The frames were simulated without
+    these transforms, so reconstruction quality is meaningless — but parity
+    is input-for-input: oracle and binary consume the same JSON+TIFFs and
+    must produce the same field to float64 rounding."""
+    fpm_main, _ = ref_binaries
+    out, _cfg, _ds = ref_dataset
+    for name, extra in (
+        ("rot", {"arrayRotation": 30}),
+        # both flips on: the reference's Y-flip matrix OVERWRITES the
+        # X-flip matrix — the strict_reference_flips quirk path
+        ("flips", {"flipDatasetX": True, "flipDatasetY": True}),
+    ):
+        doc = json.load(open(out / "dataset.json"))
+        doc.update(extra)
+        cfg_path = tmp_path / f"dataset_{name}.json"
+        json.dump(doc, open(cfg_path, "w"))
+
+        cfg = load_config(str(cfg_path), iterations=2)
+        ds = load_dataset(cfg)
+        # transformed NAs must stay clear of the filter cutoff (float32
+        # compare on both sides) and of schedule ties
+        na32 = np.sort(ds.geom.illumination_na.astype(np.float32))
+        assert np.diff(na32).min() > 1e-5, f"{name}: NA ties"
+        assert np.abs(
+            ds.geom.illumination_na.astype(np.float32)
+            - np.float32(cfg.max_illumination_na)
+        ).min() > 1e-4, f"{name}: NA at the filter boundary"
+
+        dump = tmp_path / f"dump_{name}"
+        proc = _run_reference(fpm_main, cfg_path, 2, dump_dir=dump)
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        ref_obj = _read_dump(str(dump / "000_Object.bin"))
+        res = run_fpm_oracle(ds.images, ds.geom, cfg, iterations=2)
+        err = _rel_rmse(res.obj_crop, ref_obj)
+        print(f"{name} parity: obj {err:.3e}")
+        assert err < 1e-12, f"{name}: oracle/binary diverged ({err:.3e})"
