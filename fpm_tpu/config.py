@@ -191,6 +191,25 @@ class FPMConfig:
     config_dir: str | None = None        # directory of the loaded JSON, for
     #                                      resolving relative coordinate files
 
+    def __post_init__(self):
+        if self.np_size % 2 != 0:
+            # The whole pipeline — and the reference's own quadrant-swap
+            # fftShift — relies on fftshift being an involution, which holds
+            # only for EVEN sizes. The reference accepts odd cropSizeX and
+            # silently reconstructs with an off-center pupil; we refuse.
+            raise ValueError(
+                f"cropSizeX (np_size) must be even, got {self.np_size}: "
+                "the fftshift/centered-frame contract assumes even sizes"
+            )
+        if self.bg_threshold > 32767:
+            # Background values are int16 end to end — the reference stores
+            # bg_val as int16_t (fpmMain.h:34) and would silently WRAP a
+            # clamp above 32767; we refuse instead of reproducing the wrap.
+            raise ValueError(
+                f"bgThresh {self.bg_threshold} exceeds the int16 background "
+                "contract (reference fpmMain.h:34 stores bg_val as int16_t)"
+            )
+
     def _resolve_path(self, path: str) -> str:
         """Resolve a config-referenced file against the config's own
         directory, then datasetRoot, then cwd."""

@@ -160,6 +160,57 @@ def preprocess_full_frame(
     return np.clip(img - bg, 0, 65535).astype(np.uint16), bg
 
 
+def _scan_and_prepare(cfg: FPMConfig, use_native: bool | None):
+    """Shared ingest front half: scan, validate LED numbers, build geometry.
+
+    Validation (both load paths): LED numbers must be 1-based and unique —
+    a 0 would silently wrap to the LAST coordinate row via negative
+    indexing, and duplicates (e.g. ``iLED_007.tif`` next to ``iLED_7.tif``)
+    would silently drop one file and double-weight the other.
+    Returns ``(geom, paths, use_native)``.
+    """
+    found = scan_directory(cfg)
+    if not found:
+        raise FileNotFoundError(
+            f"no '{cfg.file_prefix}*{cfg.file_extension}' images in {cfg.dataset_root!r}"
+        )
+    led_numbers = np.array([n for n, _ in found], dtype=np.int32)
+    paths = {n: p for n, p in found}
+    if len(paths) != len(led_numbers):
+        seen, dups = set(), set()
+        for n in led_numbers.tolist():
+            (dups if n in seen else seen).add(n)
+        raise ValueError(
+            f"duplicate LED numbers on disk: {sorted(dups)[:5]} — multiple "
+            "files parse to the same LED (e.g. zero-padded and unpadded "
+            "names side by side)"
+        )
+    if (led_numbers < 1).any():
+        bad = led_numbers[led_numbers < 1]
+        raise ValueError(
+            f"LED numbers {bad[:5].tolist()} are not 1-based (the reference "
+            "indexes holeCoordinates[led-1], fpmMain.cpp:77)"
+        )
+    coords = cfg.coordinates()
+    in_range = led_numbers <= len(coords)
+    if not in_range.all():
+        skipped = led_numbers[~in_range]
+        raise ValueError(
+            f"LED numbers {skipped[:5].tolist()}... exceed coordinate table "
+            f"({len(coords)} entries)"
+        )
+    geom = compute_geometry(cfg, coordinates=coords, led_numbers=led_numbers)
+
+    from .. import native
+
+    if use_native is None:
+        use_native = (
+            native.available()
+            and cfg.file_extension.lower() in (".tif", ".tiff")
+        )
+    return geom, paths, use_native
+
+
 def load_dataset(
     cfg: FPMConfig,
     use_native: bool | None = None,
@@ -175,32 +226,9 @@ def load_dataset(
     was 12% of its runtime, BASELINE.md, and wide-FOV stacks are the
     largest).
     """
-    found = scan_directory(cfg)
-    if not found:
-        raise FileNotFoundError(
-            f"no '{cfg.file_prefix}*{cfg.file_extension}' images in {cfg.dataset_root!r}"
-        )
-    led_numbers = np.array([n for n, _ in found], dtype=np.int32)
-    paths = {n: p for n, p in found}
-
-    coords = cfg.coordinates()
-    in_range = led_numbers <= len(coords)
-    if not in_range.all():
-        skipped = led_numbers[~in_range]
-        raise ValueError(
-            f"LED numbers {skipped[:5].tolist()}... exceed coordinate table "
-            f"({len(coords)} entries)"
-        )
-
-    geom = compute_geometry(cfg, coordinates=coords, led_numbers=led_numbers)
-
     from .. import native
 
-    if use_native is None:
-        use_native = (
-            native.available()
-            and cfg.file_extension.lower() in (".tif", ".tiff")
-        )
+    geom, paths, use_native = _scan_and_prepare(cfg, use_native)
 
     if full_frames:
         # Frame geometry from the first file (one cheap decode); the native
@@ -219,8 +247,10 @@ def load_dataset(
             bgs = np.empty(geom.num_leds, dtype=np.int16)
             fallback = np.arange(geom.num_leds)
         for i in fallback:
-            full = _decode_image(paths[int(geom.led_numbers[i])], cfg.color,
-                                 cfg.color_channel)
+            # reuse the shape-probe decode for frame 0 (wide-FOV frames are
+            # the largest decodes in the pipeline)
+            full = first if i == 0 else _decode_image(
+                paths[int(geom.led_numbers[i])], cfg.color, cfg.color_channel)
             images[i], bgs[i] = preprocess_full_frame(full, cfg,
                                                       geom.is_darkfield[i])
     elif use_native:
@@ -258,32 +288,9 @@ def load_dataset_rgb(
     (the reference decodes each color TIFF and then throws two channels
     away, fpmMain.cpp:109-115; a naive per-channel loop repeats that 3×).
     """
-    import dataclasses
-
-    found = scan_directory(cfg)
-    if not found:
-        raise FileNotFoundError(
-            f"no '{cfg.file_prefix}*{cfg.file_extension}' images in {cfg.dataset_root!r}"
-        )
-    led_numbers = np.array([n for n, _ in found], dtype=np.int32)
-    paths = {n: p for n, p in found}
-    coords = cfg.coordinates()
-    in_range = led_numbers <= len(coords)
-    if not in_range.all():
-        skipped = led_numbers[~in_range]
-        raise ValueError(
-            f"LED numbers {skipped[:5].tolist()}... exceed coordinate table "
-            f"({len(coords)} entries)"
-        )
-    geom = compute_geometry(cfg, coordinates=coords, led_numbers=led_numbers)
-
     from .. import native
 
-    if use_native is None:
-        use_native = (
-            native.available()
-            and cfg.file_extension.lower() in (".tif", ".tiff")
-        )
+    geom, paths, use_native = _scan_and_prepare(cfg, use_native)
 
     k = geom.num_leds
     if use_native:

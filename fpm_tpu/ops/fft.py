@@ -79,6 +79,19 @@ def _matmul_fft2(x: jax.Array, inverse: bool) -> jax.Array:
     )
 
 
+def _ensure_complex(x: jax.Array) -> jax.Array:
+    """Promote real input to the matching complex dtype.
+
+    The matmul path would otherwise CAST the complex DFT matrix to the
+    input's real dtype — silently discarding its imaginary part and
+    computing a wrong transform (jnp.fft promotes real input, so the two
+    impls must agree)."""
+    if jnp.iscomplexobj(x):
+        return x
+    cdt = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    return x.astype(cdt)
+
+
 def fft2(x: jax.Array, impl: str | None = None) -> jax.Array:
     """Unnormalized forward 2D FFT over the last two axes.
 
@@ -86,6 +99,7 @@ def fft2(x: jax.Array, impl: str | None = None) -> jax.Array:
     forward; the inverse carries the 1/N² scale via ``DFT_SCALE``,
     fpmMain.cpp:481).
     """
+    x = _ensure_complex(x)
     if _resolve_impl(x.shape[-1], impl) == "matmul":
         return _matmul_fft2(x, inverse=False)
     return jnp.fft.fft2(x)
@@ -93,6 +107,7 @@ def fft2(x: jax.Array, impl: str | None = None) -> jax.Array:
 
 def ifft2(x: jax.Array, impl: str | None = None) -> jax.Array:
     """Normalized (1/N²) inverse 2D FFT over the last two axes."""
+    x = _ensure_complex(x)
     if _resolve_impl(x.shape[-1], impl) == "matmul":
         return _matmul_fft2(x, inverse=True)
     return jnp.fft.ifft2(x)

@@ -60,6 +60,30 @@ def fingerprint(cfg, geom=None, **solver_opts) -> dict:
     return fp
 
 
+def _fingerprint_diffs(saved: dict, expect: dict) -> dict:
+    """Mismatched keys between a stored fingerprint and the current run's.
+
+    An empty stored fingerprint counts as a mismatch (pre-provenance
+    artifact) — shared by sweep checkpoints and tile stores so the refusal
+    semantics cannot drift apart."""
+    diffs = {
+        k: (saved.get(k), expect[k])
+        for k in expect
+        if saved.get(k) != expect[k]
+    }
+    if not saved:
+        diffs = {"<fingerprint>": ("missing (pre-provenance checkpoint)", "present")}
+    return diffs
+
+
+def _mismatch_message(path: str, diffs: dict) -> str:
+    return (
+        f"checkpoint {path} was written by a different run configuration; "
+        "resuming would silently diverge. Mismatched keys: "
+        + ", ".join(f"{k}: saved={s!r} vs now={e!r}" for k, (s, e) in diffs.items())
+    )
+
+
 def save_checkpoint(path: str, obj_f_centered, pupil, iteration: int,
                     meta: dict | None = None):
     tmp = path + ".tmp"
@@ -89,19 +113,9 @@ def load_checkpoint(path: str, expect: dict | None = None, strict: bool = True):
         if "fingerprint" in z.files:
             saved = json.loads(bytes(z["fingerprint"]).decode() or "{}")
     if expect is not None:
-        diffs = {
-            k: (saved.get(k), expect[k])
-            for k in expect
-            if saved.get(k) != expect[k]
-        }
-        if not saved:
-            diffs = {"<fingerprint>": ("missing (pre-provenance checkpoint)", "present")}
+        diffs = _fingerprint_diffs(saved, expect)
         if diffs:
-            msg = (
-                f"checkpoint {path} was written by a different run configuration; "
-                "resuming would silently diverge. Mismatched keys: "
-                + ", ".join(f"{k}: saved={s!r} vs now={e!r}" for k, (s, e) in diffs.items())
-            )
+            msg = _mismatch_message(path, diffs)
             if strict:
                 raise CheckpointMismatch(msg)
             print(f"[fpm-tpu] WARNING: {msg}")
@@ -111,13 +125,17 @@ def load_checkpoint(path: str, expect: dict | None = None, strict: bool = True):
 def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> str | None:
     if not os.path.isdir(directory):
         return None
-    cands = [
-        f for f in os.listdir(directory) if f.startswith(prefix) and f.endswith(".npz")
-    ]
+    cands = []
+    for f in os.listdir(directory):
+        if not (f.startswith(prefix) and f.endswith(".npz")):
+            continue
+        try:
+            cands.append((int(f[len(prefix):-4]), f))
+        except ValueError:
+            continue  # e.g. a user's ckpt_backup.npz — not ours, skip
     if not cands:
         return None
-    cands.sort(key=lambda f: int(f[len(prefix) : -4]))
-    return os.path.join(directory, cands[-1])
+    return os.path.join(directory, max(cands)[1])
 
 
 class TileStore:
@@ -157,14 +175,9 @@ class TileStore:
         with np.load(path) as z:
             saved = json.loads(bytes(z["fingerprint"]).decode() or "{}")
             out = (z["obj_crop_p"], z["obj_f_p"], z["pupil_p"], z["metrics"])
-        diffs = {k: (saved.get(k), self.meta[k]) for k in self.meta
-                 if saved.get(k) != self.meta[k]}
+        diffs = _fingerprint_diffs(saved, self.meta)
         if diffs:
-            msg = (f"tile checkpoint {path} was written by a different run "
-                   "configuration; resuming would silently diverge. "
-                   "Mismatched keys: "
-                   + ", ".join(f"{k}: saved={s!r} vs now={e!r}"
-                               for k, (s, e) in diffs.items()))
+            msg = _mismatch_message(path, diffs)
             if self.strict:
                 raise CheckpointMismatch(msg)
             print(f"[fpm-tpu] WARNING: {msg}; re-solving tile {i}")

@@ -23,6 +23,12 @@ SHOW_AMP_PHASE = "amp_phase"
 
 
 def _to_uint8(x: np.ndarray) -> np.ndarray:
+    if not np.isfinite(x).all():
+        # A diverged solve must yield a defined (and visibly flagged)
+        # image, not platform-dependent uint8 garbage from NaN casts.
+        print("[fpm-tpu] WARNING: non-finite values in image output; "
+              "rendering finite part")
+        x = np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
     lo, hi = float(np.min(x)), float(np.max(x))
     if hi - lo < 1e-30:
         return np.zeros(x.shape, dtype=np.uint8)

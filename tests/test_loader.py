@@ -66,9 +66,11 @@ def test_load_and_background_subtraction(tiny_dataset):
 
 
 def test_saturating_subtract():
+    # 32767 = the int16 ceiling the config now enforces (fpmMain.h:34
+    # stores bg_val as int16_t) — effectively "no clamp" for this data
     cfg = FPMConfig(np_size=4, crop_x=0, crop_y=0,
                     bk1_crop_x=0, bk1_crop_y=0, bk2_crop_x=0, bk2_crop_y=0,
-                    bg_threshold=1e9)
+                    bg_threshold=32767)
     full = np.full((4, 4), 10, dtype=np.uint16)
     img, bg = preprocess_image(full, cfg, is_darkfield=False)
     # bg estimate = 10 (the ROI itself) → 10-10=0, no wraparound
@@ -104,3 +106,44 @@ def test_color_channel_selection(tmp_path):
     ds = load_dataset(cfg, use_native=False)
     # Default colorChannel=2 in BGR = red (fpmMain.cpp:115, quirk 3) → 50
     assert np.all(ds.images[0] == 50)
+
+
+def test_loader_rejects_zero_and_duplicate_led_numbers(tmp_path):
+    """Round-5 review hardening: a 0-numbered file would silently wrap to
+    the LAST coordinate row (coords[led-1]); duplicate numbers (padded and
+    unpadded names) would silently drop one file and double-weight the
+    other. Both are clean errors now."""
+    import pytest
+    from PIL import Image
+
+    from fpm_tpu.data.loader import load_dataset
+
+    def cfg_for(d):
+        coords = np.array([[0.0, 0.0, 50.0]] * 9)
+        return FPMConfig(dataset_root=str(d) + os.sep, np_size=4,
+                         crop_x=0, crop_y=0, bk1_crop_x=0, bk1_crop_y=0,
+                         bk2_crop_x=0, bk2_crop_y=0, bg_threshold=0,
+                         led_count=9, hole_coordinates=coords)
+
+    img = np.full((8, 8), 100, dtype=np.uint16)
+    d0 = tmp_path / "zero"
+    d0.mkdir()
+    Image.fromarray(img).save(d0 / "iLED_0.tif")
+    with pytest.raises(ValueError, match="not 1-based"):
+        load_dataset(cfg_for(d0), use_native=False)
+
+    dd = tmp_path / "dup"
+    dd.mkdir()
+    Image.fromarray(img).save(dd / "iLED_7.tif")
+    Image.fromarray(img).save(dd / "iLED_007.tif")
+    with pytest.raises(ValueError, match="duplicate"):
+        load_dataset(cfg_for(dd), use_native=False)
+
+
+def test_config_rejects_odd_np_and_oversized_bgthresh():
+    import pytest
+
+    with pytest.raises(ValueError, match="must be even"):
+        FPMConfig(np_size=15)
+    with pytest.raises(ValueError, match="int16"):
+        FPMConfig(bg_threshold=40000)
