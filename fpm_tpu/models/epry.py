@@ -454,8 +454,11 @@ def jacobi_chunk(obj_f, pupil, amps, starts, mask, *, support, opts: EPRYOptions
     d_pupil = _pupil_delta(diff, objf_crop, omax, support, opts.delta1) * m
     pupil = pupil + opts.pupil_step_scale * jnp.sum(d_pupil, axis=0)
 
-    resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
-    upd = jnp.sum(jnp.abs(d_obj) ** 2)
+    if opts.collect_metrics:
+        resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
+        upd = jnp.sum(jnp.abs(d_obj) ** 2)
+    else:  # match led_step/Pallas: metrics off ⇒ skip the full reductions
+        resid = upd = jnp.zeros((), amps.dtype)
     return obj_f, pupil, jnp.stack([resid, upd])
 
 

@@ -98,7 +98,8 @@ def roi_angle_error(cfg: FPMConfig, geom: LEDGeometry, grid: tuple[int, int],
     stride = cfg.np_size - overlap
     # max lateral offset of a ROI center from the reference crop center, in
     # meters on the sample plane (ps_eff is µm/camera-pixel at the sample)
-    max_dx = max(rows, cols, 2) - 1
+    # 1x1 grids coincide exactly with the reference crop (zero offset)
+    max_dx = max(rows, cols) - 1
     delta_m = max_dx * stride * cfg.ps_eff * 1e-6
     # LED z-distances in meters: the solver never needs absolute units
     # (sinθ = sin(atan2(x, z)) is scale-invariant) but this bound does;

@@ -101,8 +101,11 @@ def _chunk_increments(obj_f, pupil, support, amps, starts, mask, *, opts: EPRYOp
     # omax=1.0: the true 1/max|O| factor is applied after the consensus.
     v = jnp.sum(_pupil_delta(diff, objf_crop, 1.0, support, opts.delta1) * m,
                 axis=0)
-    resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
-    upd = jnp.sum(jnp.abs(d_obj * m) ** 2)
+    if opts.collect_metrics:
+        resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
+        upd = jnp.sum(jnp.abs(d_obj * m) ** 2)
+    else:  # two full (C, Np, Np) reductions + psum bytes saved when off
+        resid = upd = jnp.zeros((), amps.dtype)
     return d_obj_full, v, jnp.stack([resid, upd])
 
 
@@ -279,19 +282,29 @@ def prepare_led_sharded(
               f"exceeds the compile ceiling at Np={cfg.np_size} over "
               f"{n_led} devices; clamped to {c_eff}")
     opts = _dc.replace(opts, chunk_size=c_eff)
-    obj_f, pupil, support = init_state(cfg, geom, amps, dtype=dtype)
-    if initial_state is not None:  # checkpoint resume
+    if initial_state is not None:  # checkpoint resume: skip the seed init
+        from ..geometry import pupil_support as _pupil_support
+
+        rdt = jnp.zeros((), dtype).real.dtype
+        support = jnp.asarray(_pupil_support(cfg, centered=False),
+                              rdt).astype(dtype)
         obj_f = jnp.asarray(initial_state[0], dtype=dtype)
         pupil = jnp.asarray(initial_state[1], dtype=dtype)
+    else:
+        obj_f, pupil, support = init_state(cfg, geom, amps, dtype=dtype)
 
+    # chunk_size=0 means one whole-sweep chunk; derive the per-chunk width
+    # from the schedule itself (perm.size // n_chunks, the same contract as
+    # models.epry sweep_batched) rather than re-deriving it from c_eff.
     perm, mask_np, n_chunks = chunk_schedule(k, c_eff, opts.chunk_assign)
+    c_w = perm.size // n_chunks
     pad = perm.size - k
     if pad:
         amps = jnp.concatenate([amps, jnp.zeros((pad,) + amps.shape[1:], amps.dtype)])
         starts = jnp.concatenate([starts, jnp.zeros((pad, 2), starts.dtype)])
-    amps = amps[perm].reshape(n_chunks, c_eff, *amps.shape[1:])
-    starts = starts[perm].reshape(n_chunks, c_eff, 2)
-    mask = jnp.asarray(mask_np, amps.dtype).reshape(n_chunks, c_eff)
+    amps = amps[perm].reshape(n_chunks, c_w, *amps.shape[1:])
+    starts = starts[perm].reshape(n_chunks, c_w, 2)
+    mask = jnp.asarray(mask_np, amps.dtype).reshape(n_chunks, c_w)
 
     rep = NamedSharding(mesh, P())
     led_sh = NamedSharding(mesh, P(None, "led"))

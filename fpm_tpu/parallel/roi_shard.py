@@ -158,12 +158,15 @@ def reconstruct_large_fov_sharded(
     roi_sh = NamedSharding(mesh, P("roi"))
     starts, support_r = jax.device_put((starts, support_r), rep_sh)
 
+    amps_rdt = jnp.zeros((), dtype).real.dtype
+
     def tile_amps(i):
         y0, x0 = origins_px[i]
         roi = full_images[:, y0 : y0 + np_sz, x0 : x0 + np_sz]
         # Geometry (starts, support) is shared across ROIs (validity
         # bound: models.largefov.roi_angle_error).
-        return _sorted_device_inputs(roi, geom, dtype)[0]
+        amps = np.sqrt(np.asarray(roi, dtype=np.float64))[geom.schedule]
+        return jnp.asarray(amps, dtype=amps_rdt)
 
     tiles = [None] * t_real
     for lo in range(0, t_real, n_dev):
@@ -175,12 +178,15 @@ def reconstruct_large_fov_sharded(
                 todo.append(i)
         if not todo:
             continue
-        filler = tile_amps(todo[0])  # computed once for every dead slot
+        filler = tile_amps(todo[0])  # computed once, reused by dead slots
         slot_amps, valid_np = [], []
         for slot in range(n_dev):
             i = lo + slot
             live = i in todo
-            slot_amps.append(tile_amps(i) if live else filler)
+            if not live:
+                slot_amps.append(filler)
+            else:
+                slot_amps.append(filler if i == todo[0] else tile_amps(i))
             valid_np.append(1 if live else 0)
         amps_stack = jax.device_put(jnp.stack(slot_amps), roi_sh)
         valid = jax.device_put(jnp.asarray(valid_np, jnp.int32), roi_sh)

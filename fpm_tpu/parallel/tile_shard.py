@@ -189,8 +189,11 @@ def _tile_chunk_increments(obj_f_local, pupil, support, amps, starts_rel,
     # omax=1.0: the true 1/max|O| factor is applied after the consensus.
     v = jnp.sum(_pupil_delta(diff, objf_crop, 1.0, support, opts.delta1) * m,
                 axis=0)
-    resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
-    upd = jnp.sum(jnp.abs(d_obj * m) ** 2)
+    if opts.collect_metrics:
+        resid = jnp.sum(((amps - jnp.abs(obj_crop_p)) * m) ** 2)
+        upd = jnp.sum(jnp.abs(d_obj * m) ** 2)
+    else:
+        resid = upd = jnp.zeros((), amps.dtype)
     return d_ext, v, jnp.stack([resid, upd])
 
 
@@ -421,13 +424,17 @@ def prepare_tile_sharded(
                     ]
                     mask_w[ci, li, ti, ki] = 1.0
 
-    amps0 = np.sqrt(np.asarray(images, dtype=np.float64))[order]
-    obj_f, pupil, support = init_state(
-        cfg, geom, jnp.asarray(amps0, dtype=real_dtype), dtype=dtype
-    )
-    if initial_state is not None:
+    if initial_state is not None:  # checkpoint resume: skip the seed init
+        from ..geometry import pupil_support as _pupil_support
+
+        support = jnp.asarray(
+            _pupil_support(cfg, centered=False), real_dtype).astype(dtype)
         obj_f = jnp.asarray(initial_state[0], dtype=dtype)
         pupil = jnp.asarray(initial_state[1], dtype=dtype)
+    else:
+        obj_f, pupil, support = init_state(
+            cfg, geom, jnp.asarray(amps_all, dtype=real_dtype), dtype=dtype
+        )
 
     obj_sh = NamedSharding(mesh, P("tile", None))
     rep = NamedSharding(mesh, P())

@@ -304,3 +304,16 @@ def test_make_mesh_rejects_degenerate_axes():
         make_mesh(tile=2 * n)
     with pytest.raises(ValueError, match="mesh axes must be >= 1"):
         make_mesh(led=0, tile=1)
+
+
+def test_led_sharded_single_device_whole_sweep_chunk(ds):
+    """Round-5 review regression: reconstruct_led_sharded with the default
+    chunk_size=0 on an n_led=1 mesh crashed reshaping into a zero-width
+    chunk; it must run (one whole-sweep Jacobi chunk) and match the
+    single-device whole-sweep batched solve."""
+    mesh = make_mesh(led=1, tile=1, devices=jax.devices()[:1])
+    got = reconstruct_led_sharded(ds.images, ds.geom, ds.cfg, mesh=mesh,
+                                  iterations=3, dtype="complex128")
+    ref = reconstruct(ds.images, ds.geom, ds.cfg, iterations=3,
+                      dtype="complex128", mode="batched", chunk_size=0)
+    assert _rel(got.obj_f_centered, ref.obj_f_centered) < 1e-12
