@@ -155,6 +155,13 @@ def main(argv=None) -> int:
             raise
         print(f"ERROR: {e}", file=sys.stderr)
         return 1
+    finally:
+        # A --trace-dir run must flush its profile on EVERY exit path —
+        # the FOV/RGB dispatches and the error paths bypass the main
+        # path's inline stop_trace (idempotent; no-op when no trace).
+        from .utils.profiling import stop_trace_if_active
+
+        stop_trace_if_active()
     return 2
 
 
@@ -276,19 +283,54 @@ def _cmd_run(args) -> int:
     if args.distributed:
         from .parallel.multihost import initialize_from_env
 
-        initialize_from_env()
+        initialize_from_env(require=True)
 
     iterations = args.iterations if args.iterations is not None else args.iterations_pos
     cfg = load_config(args.config, iterations=iterations)
     if cfg.iterations < 1:
         raise ValueError(f"iteration count must be >= 1, got {cfg.iterations}")
     if args.dtype:
-        cfg.dtype = args.dtype
+        import numpy as _np
+
+        try:
+            _dt = _np.dtype(args.dtype)
+        except TypeError:
+            raise ValueError(f"unknown --dtype {args.dtype!r}") from None
+        if _dt not in (_np.dtype(_np.complex64), _np.dtype(_np.complex128)):
+            raise ValueError(
+                f"--dtype must be complex64 or complex128, got {args.dtype!r} "
+                "(the solver state is complex; real dtypes would silently "
+                "discard phase)"
+            )
+        cfg.dtype = _dt.name  # canonical spelling (accepts aliases like c16)
     if args.debug:
         cfg.debug = True
 
+    if args.fov_grid and args.color_mode == "rgb":
+        raise ValueError("--fov-grid and --color-mode rgb are not supported "
+                         "together (tile the channels as separate runs)")
+    if args.mesh and args.color_mode == "rgb":
+        raise ValueError("--color-mode rgb does not support --mesh (the "
+                         "three channels already batch in one program)")
+    if args.mesh and args.fov_grid:
+        raise ValueError("--fov-grid auto-shards ROIs over all devices; "
+                         "--mesh is not supported with it")
+
+    # Multi-host runs: exactly one process owns the output directory
+    # (checkpoints, results, metrics) — concurrent writers would tear the
+    # atomic checkpoint rename and interleave the metrics stream.
+    args._is_coordinator = True
+    if args.distributed:
+        from .parallel.multihost import is_coordinator
+
+        args._is_coordinator = is_coordinator()
+
     os.makedirs(args.output, exist_ok=True)
-    logger = MetricsLogger(args.metrics_jsonl or os.path.join(args.output, "metrics.jsonl"))
+    logger = MetricsLogger(
+        (args.metrics_jsonl or os.path.join(args.output, "metrics.jsonl"))
+        if args._is_coordinator else None,
+        resume=bool(args.resume),
+    )
     logger.log("config", path=os.path.abspath(args.config),
                iterations=cfg.iterations, n_large=cfg.n_large, np_size=cfg.np_size)
 
@@ -481,7 +523,14 @@ def _cmd_run(args) -> int:
         if args.watchdog_timeout > 0:
             from .utils.watchdog import Watchdog
 
-            watchdog = Watchdog(args.watchdog_timeout).start()
+            # Started lazily after the FIRST chunk: the first dispatch
+            # includes XLA/Pallas compilation (minutes on a cold cache),
+            # which must not count as a stall.
+            watchdog = Watchdog(args.watchdog_timeout)
+            if chunk >= total:
+                print("[fpm-tpu] watchdog: no intermediate chunks "
+                      "(--checkpoint-every 0) — progress is only observable "
+                      "once per full solve")
         done = start_iter
         while done < total:
             step = min(chunk, total - done)
@@ -501,7 +550,7 @@ def _cmd_run(args) -> int:
             result = run_chunk(step, initial_state)
             done += step
             if watchdog is not None:
-                watchdog.beat()
+                watchdog.beat() if watchdog.running else watchdog.start()
             initial_state = (result.obj_f_centered, result.pupil)
             logger.log("iterations", done=done,
                        data_residual=float(result.metrics["data_residual"][-1]),
@@ -514,7 +563,8 @@ def _cmd_run(args) -> int:
                                  base + "_objF")
                 save_complex_img(np.fft.fftshift(result.pupil), SHOW_COMPLEX_MAG,
                                  base + "_pupil")
-            if (args.checkpoint_every > 0 and done < total
+            if (args._is_coordinator and args.checkpoint_every > 0
+                    and done < total
                     and (done - start_iter) % args.checkpoint_every == 0):
                 # Offset by start_iter: a resume from a checkpoint that is
                 # not aligned to the current interval (the interval is
@@ -528,8 +578,9 @@ def _cmd_run(args) -> int:
         if watchdog is not None:
             watchdog.stop()
 
-    with phase("output", logger):
-        save_results(result, args.output, cfg)
+    if args._is_coordinator:
+        with phase("output", logger):
+            save_results(result, args.output, cfg)
 
     if args.trace_dir:
         stop_trace()
@@ -580,7 +631,7 @@ def _run_large_fov(args, cfg, logger) -> int:
         dft_precision=args.dft_precision,
     )
     tile_store = None
-    if args.checkpoint_every > 0 or args.resume:
+    if (args.checkpoint_every > 0 or args.resume) and args._is_coordinator:
         tile_store = TileStore(
             os.path.join(args.output, "tiles"), meta=run_fp,
             resume=bool(args.resume), strict=not args.resume_unsafe,
@@ -590,13 +641,14 @@ def _run_large_fov(args, cfg, logger) -> int:
     if args.watchdog_timeout > 0:
         from .utils.watchdog import Watchdog
 
-        watchdog = Watchdog(args.watchdog_timeout).start()
+        # started at the first completed tile (the first includes compile)
+        watchdog = Watchdog(args.watchdog_timeout)
 
     def on_tile(r, c, t):
         logger.log("tile", row=r, col=c,
                    data_residual=float(t.metrics["data_residual"][-1]))
         if watchdog is not None:
-            watchdog.beat()
+            watchdog.beat() if watchdog.running else watchdog.start()
 
     n_dev = jax.device_count()
     with phase("solve", logger):
@@ -611,8 +663,8 @@ def _run_large_fov(args, cfg, logger) -> int:
             print(f"[fpm-tpu] large-FOV: {rows}x{cols} tiles of "
                   f"Np={cfg.np_size}, ROI-sharded over {n_dev} devices")
             logger.log("solver_options", fov_grid=[rows, cols],
-                       roi_devices=n_dev, **{k: v for k, v in
-                                             solver_kwargs.items()})
+                       roi_devices=n_dev,
+                       **{**solver_kwargs, "chunk_size": eff_chunk})
             res = reconstruct_large_fov_sharded(
                 dataset.images, dataset.geom, cfg,
                 grid=(rows, cols), overlap=args.fov_overlap,
@@ -629,10 +681,11 @@ def _run_large_fov(args, cfg, logger) -> int:
     if watchdog is not None:
         watchdog.stop()
 
-    with phase("output", logger):
-        np.save(os.path.join(args.output, "object_stitched.npy"), res.stitched)
-        save_complex_img(res.stitched, SHOW_AMP_PHASE,
-                         os.path.join(args.output, "object_stitched"))
+    if args._is_coordinator:
+        with phase("output", logger):
+            np.save(os.path.join(args.output, "object_stitched.npy"), res.stitched)
+            save_complex_img(res.stitched, SHOW_AMP_PHASE,
+                             os.path.join(args.output, "object_stitched"))
     logger.close()
     print(f"[fpm-tpu] stitched {rows * cols} tiles -> {args.output}")
     return 0
@@ -711,7 +764,7 @@ def _run_rgb(args, cfg, logger) -> int:
     if args.watchdog_timeout > 0:
         from .utils.watchdog import Watchdog
 
-        watchdog = Watchdog(args.watchdog_timeout).start()
+        watchdog = Watchdog(args.watchdog_timeout)  # started after chunk 1
 
     results = None
     with phase("solve[rgb]", logger):
@@ -725,7 +778,7 @@ def _run_rgb(args, cfg, logger) -> int:
             )
             done += step
             if watchdog is not None:
-                watchdog.beat()
+                watchdog.beat() if watchdog.running else watchdog.start()
             initial_state = (
                 np.stack([r.obj_f_centered for r in results]),
                 np.stack([r.pupil for r in results]),
@@ -734,7 +787,8 @@ def _run_rgb(args, cfg, logger) -> int:
                 name: float(r.metrics["data_residual"][-1])
                 for name, r in zip(("red", "green", "blue"), results)
             })
-            if (args.checkpoint_every > 0 and done < total
+            if (args._is_coordinator and args.checkpoint_every > 0
+                    and done < total
                     and (done - start_iter) % args.checkpoint_every == 0):
                 save_checkpoint(
                     os.path.join(args.output, f"ckpt_{done}.npz"),
@@ -743,13 +797,14 @@ def _run_rgb(args, cfg, logger) -> int:
     if watchdog is not None:
         watchdog.stop()
 
-    amps = []
-    for name, res, dataset in zip(("red", "green", "blue"), results, channels):
-        save_results(res, os.path.join(args.output, name), dataset.cfg)
-        amps.append(np.abs(res.obj_crop))
-    rgb = np.stack(amps, axis=-1)
-    rgb = rgb / (rgb.max() + 1e-30)
-    save_png(os.path.join(args.output, "object_rgb.png"), rgb)
+    if args._is_coordinator:
+        amps = []
+        for name, res, dataset in zip(("red", "green", "blue"), results, channels):
+            save_results(res, os.path.join(args.output, name), dataset.cfg)
+            amps.append(np.abs(res.obj_crop))
+        rgb = np.stack(amps, axis=-1)
+        rgb = rgb / (rgb.max() + 1e-30)
+        save_png(os.path.join(args.output, "object_rgb.png"), rgb)
     logger.close()
     print(f"[fpm-tpu] RGB reconstruction -> {args.output}")
     return 0

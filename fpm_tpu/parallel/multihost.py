@@ -23,13 +23,17 @@ def initialize_from_env(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
+    require: bool = False,
 ) -> bool:
     """Initialize jax.distributed from args or environment.
 
     Environment: ``FPM_COORDINATOR`` (host:port), ``FPM_NUM_PROCESSES``,
-    ``FPM_PROCESS_ID`` — or any of JAX's native auto-detection (TPU pod
-    metadata, SLURM, ...) when no explicit configuration is present.
-    Returns True when running distributed, False for single-process.
+    ``FPM_PROCESS_ID`` — or, with ``require=True`` (the CLI's
+    ``--distributed`` flag), JAX's native auto-detection (TPU pod metadata,
+    SLURM, ...). Returns True when running distributed, False for
+    single-process. A run that ASKED for distributed execution but cannot
+    initialize it raises instead of silently running single-process (each
+    host would otherwise solve an independent duplicate run).
     """
     import jax
 
@@ -40,7 +44,22 @@ def initialize_from_env(
         process_id = int(os.environ["FPM_PROCESS_ID"])
 
     if coordinator_address is None and num_processes is None:
-        return False
+        if process_id is not None:
+            raise ValueError(
+                "FPM_PROCESS_ID is set but FPM_COORDINATOR/FPM_NUM_PROCESSES "
+                "are not — partial multi-host configuration"
+            )
+        if not require:
+            return False
+        try:
+            jax.distributed.initialize()  # JAX-native auto-detection
+        except Exception as e:
+            raise ValueError(
+                "--distributed requested but no multi-host configuration "
+                "found: set FPM_COORDINATOR/FPM_NUM_PROCESSES/FPM_PROCESS_ID "
+                f"or run under a supported launcher (auto-detect said: {e})"
+            ) from e
+        return True
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -14,8 +14,11 @@ import time
 
 
 class MetricsLogger:
-    def __init__(self, path: str | None):
-        self._f = open(path, "a") if path else None
+    def __init__(self, path: str | None, resume: bool = False):
+        # Fresh runs truncate: appending a new run's records onto a stale
+        # file would interleave two configs'/iterations' streams and poison
+        # any consumer. Resumes append (one continuing logical run).
+        self._f = open(path, "a" if resume else "w") if path else None
         self._t0 = time.perf_counter()
 
     def log(self, event: str, **fields):

@@ -30,13 +30,30 @@ def phase(name: str, logger=None, echo: bool = True):
         print(f"[fpm-tpu] {name} completed (time: {dt:.3f} s)")
 
 
+_TRACE_ACTIVE = False
+
+
 def start_trace(log_dir: str) -> None:
+    global _TRACE_ACTIVE
     import jax.profiler
 
     jax.profiler.start_trace(log_dir)
+    _TRACE_ACTIVE = True
 
 
 def stop_trace() -> None:
+    global _TRACE_ACTIVE
     import jax.profiler
 
     jax.profiler.stop_trace()
+    _TRACE_ACTIVE = False
+
+
+def stop_trace_if_active() -> None:
+    """Flush an in-flight profiler trace, if any (idempotent).
+
+    Called from the CLI's unwind paths so a --trace-dir run that exits
+    through an error or a non-main code path still writes its profile
+    instead of silently losing it."""
+    if _TRACE_ACTIVE:
+        stop_trace()

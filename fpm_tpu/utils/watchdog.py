@@ -51,7 +51,12 @@ class Watchdog:
         """Record progress; resets the stall clock."""
         self._last = time.monotonic()
 
+    @property
+    def running(self) -> bool:
+        return self._thread is not None
+
     def start(self) -> "Watchdog":
+        self._last = time.monotonic()  # the stall clock starts NOW
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="fpm-watchdog")
         self._thread.start()

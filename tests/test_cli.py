@@ -589,3 +589,66 @@ def test_fov_tiles_refuse_resume_under_different_iterations(tmp_path, capsys):
     assert main(["run", cfg_path, "-n", "4", "-o", out, "--resume"] + base) == 1
     assert "different run configuration" in capsys.readouterr().err
     assert main(["run", cfg_path, "-n", "2", "-o", out, "--resume"] + base) == 0
+
+
+def test_unsupported_flag_combinations_error_cleanly(tmp_path, capsys):
+    """Round-5 review: flags a mode cannot honor must refuse, not silently
+    drop — a user believing they ran a sharded RGB job must find out."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    for extra, msg in (
+        (["--fov-grid", "2", "2", "--color-mode", "rgb"], "not supported"),
+        (["--color-mode", "rgb", "--mesh", "2", "1"], "does not support"),
+        (["--fov-grid", "2", "2", "--mesh", "2", "1"], "not supported"),
+        (["--dtype", "float32"], "complex64 or complex128"),
+        (["--dtype", "nonsense"], "unknown --dtype"),
+    ):
+        assert main(["run", cfg_path, "-n", "2", "-o",
+                     str(tmp_path / "o"), "--no-native"] + extra) == 1
+        assert msg in capsys.readouterr().err
+
+
+def test_dtype_alias_canonicalized(tmp_path):
+    """numpy aliases of complex128 (e.g. 'c16') must behave exactly like
+    the canonical spelling — previously the exact-string compare downgraded
+    the real planes to float32."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert main(["run", cfg_path, "-n", "3", "-o", out_a,
+                 "--dtype", "complex128", "--no-native"]) == 0
+    assert main(["run", cfg_path, "-n", "3", "-o", out_b,
+                 "--dtype", "c16", "--no-native"]) == 0
+    np.testing.assert_array_equal(np.load(os.path.join(out_a, "object.npy")),
+                                  np.load(os.path.join(out_b, "object.npy")))
+
+
+def test_trace_dir_flushed_on_fov_path(tmp_path):
+    """Round-5 review: --trace-dir with --fov-grid previously never stopped
+    the profiler trace, silently losing the profile."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5",
+          "--frame-size", "48"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    trace = tmp_path / "trace"
+    assert main(["run", cfg_path, "-n", "2", "-o", str(tmp_path / "out"),
+                 "--dtype", "complex128", "--no-native",
+                 "--fov-grid", "2", "2", "--trace-dir", str(trace)]) == 0
+    found = [p for p in trace.rglob("*") if p.is_file()]
+    assert found, "profiler trace was not flushed on the FOV path"
+
+
+def test_metrics_file_truncated_on_fresh_run(tmp_path):
+    """A fresh (non-resume) run must not append onto a stale metrics file."""
+    data_dir = str(tmp_path / "data")
+    main(["simulate", data_dir, "--np-size", "16", "--grid", "5"])
+    cfg_path = os.path.join(data_dir, "dataset.json")
+    out = str(tmp_path / "out")
+    assert main(["run", cfg_path, "-n", "2", "-o", out, "--no-native",
+                 "--dtype", "complex128"]) == 0
+    assert main(["run", cfg_path, "-n", "2", "-o", out, "--no-native",
+                 "--dtype", "complex128"]) == 0
+    lines = [json.loads(ln) for ln in open(os.path.join(out, "metrics.jsonl"))]
+    assert sum(ln["event"] == "config" for ln in lines) == 1
